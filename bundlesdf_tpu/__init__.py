@@ -1,0 +1,17 @@
+"""bundlesdf_tpu — TPU-native neural object SLAM.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of NVlabs/BundleSDF
+(CVPR 2023): near-real-time 6-DoF tracking of an unknown rigid object from
+monocular RGBD video with concurrent neural 3D reconstruction (a truncated-SDF
+"Neural Object Field").
+
+Layer map (mirrors reference /root/reference SURVEY.md §1, re-designed TPU-first):
+  - `bundlesdf_tpu.bundlesdf.BundleSdf`   — orchestrator (ref bundlesdf.py:266)
+  - `bundlesdf_tpu.nof`                   — Neural Object Field trainer (ref nerf_runner.py)
+  - `bundlesdf_tpu.tracker`               — pose-graph tracker (ref BundleTrack/src/Bundler.cpp)
+  - `bundlesdf_tpu.matcher`               — feature matching (ref loftr_wrapper.py + LoFTR)
+  - `bundlesdf_tpu.ops`                   — fused XLA/Pallas kernels (ref CUDA kernels)
+  - `bundlesdf_tpu.mesh`, `.scene`, `.eval`, `.datasets` — aux subsystems
+"""
+
+__version__ = "0.1.0"

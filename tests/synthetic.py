@@ -1,0 +1,100 @@
+"""Synthetic RGBD cube-orbit generator — fixture substitute for the milk-jug
+demo (the reference ships no test data; SURVEY.md §4)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def look_at(eye, target, up=(0, -1, 0)):
+    """cam-to-world (OpenCV convention: +z forward, +y down)."""
+    eye = np.asarray(eye, dtype=np.float64)
+    target = np.asarray(target, dtype=np.float64)
+    z = target - eye
+    z /= np.linalg.norm(z)
+    up = np.asarray(up, dtype=np.float64)
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    T = np.eye(4)
+    T[:3, 0] = x
+    T[:3, 1] = y
+    T[:3, 2] = z
+    T[:3, 3] = eye
+    return T
+
+
+def render_boxes_depth(cam_in_world, K, H, W, boxes):
+    """Tiny CPU ray-marcher against a union of axis-aligned boxes.
+    @boxes: list of (center(3), half(3), color(3 uint8)).
+    Returns color (H,W,3) uint8, depth (H,W) float32 (z-depth), mask (H,W) uint8."""
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(us - K[0, 2]) / K[0, 0], (vs - K[1, 2]) / K[1, 1],
+                     np.ones_like(us, dtype=np.float64)], axis=-1)
+    R = cam_in_world[:3, :3]
+    o = cam_in_world[:3, 3]
+    dirs_w = dirs @ R.T
+    depth = np.full((H, W), np.inf)
+    color = np.zeros((H, W, 3), np.uint8)
+    for center, half, col in boxes:
+        center = np.asarray(center, dtype=np.float64)
+        half = np.asarray(half, dtype=np.float64)
+        inv = 1.0 / np.where(np.abs(dirs_w) < 1e-12, 1e-12, dirs_w)
+        t0 = (center - half - o) * inv
+        t1 = (center + half - o) * inv
+        tmin = np.minimum(t0, t1).max(axis=-1)
+        tmax = np.maximum(t0, t1).min(axis=-1)
+        hit = (tmax > np.maximum(tmin, 0.0))
+        t = np.where(hit, tmin, np.inf)
+        z = t * dirs[..., 2]  # z-depth along optical axis
+        closer = z < depth
+        upd = hit & closer
+        depth = np.where(upd, z, depth)
+        # cheap shading: color modulated by hit-face
+        t_safe = np.where(np.isfinite(t), t, 0.0)
+        pts = o + t_safe[..., None] * dirs_w
+        rel = (pts - center) / half
+        face = np.argmax(np.abs(rel), axis=-1)
+        shade = np.take(np.array([1.0, 0.82, 0.65]), face)
+        for c in range(3):
+            ch = np.clip(col[c] * shade, 0, 255).astype(np.uint8)
+            color[..., c] = np.where(upd, ch, color[..., c])
+    mask = np.isfinite(depth).astype(np.uint8)
+    depth = np.where(np.isfinite(depth), depth, 0.0).astype(np.float32)
+    return color, depth, mask
+
+
+def cube_orbit_sequence(n_frames=12, H=120, W=160, radius=0.45, obj_size=0.08,
+                        full_angle=2 * np.pi, noise=0.0, seed=0):
+    """Camera orbits a textured cube cluster at the origin.
+    Returns dict with colors, depths, masks, K, cam_in_obs (cv convention,
+    cam-to-object), id_strs."""
+    rng = np.random.default_rng(seed)
+    f = 0.9 * max(H, W)
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1]], dtype=np.float64)
+    s = obj_size
+    boxes = [
+        ((0, 0, 0), (s, s, s), (200, 60, 60)),
+        ((s * 0.9, 0, s * 0.9), (s * 0.45, s * 0.45, s * 0.45), (60, 200, 60)),
+        ((-s * 0.8, s * 0.7, 0), (s * 0.35, s * 0.35, s * 0.35), (60, 60, 220)),
+    ]
+    colors, depths, masks, poses, ids = [], [], [], [], []
+    for i in range(n_frames):
+        ang = full_angle * i / n_frames
+        eye = np.array([radius * np.sin(ang), -0.12, radius * np.cos(ang)])
+        cam_in_ob = look_at(eye, (0, 0, 0))
+        color, depth, mask = render_boxes_depth(cam_in_ob, K, H, W, boxes)
+        if noise > 0:
+            depth = depth + (rng.standard_normal(depth.shape) * noise * mask).astype(np.float32)
+        colors.append(color)
+        depths.append(depth)
+        masks.append(mask)
+        poses.append(cam_in_ob)
+        ids.append(f"{i:04d}")
+    return {
+        "colors": np.array(colors),
+        "depths": np.array(depths),
+        "masks": np.array(masks),
+        "K": K,
+        "cam_in_obs": np.array(poses),
+        "id_strs": ids,
+    }
