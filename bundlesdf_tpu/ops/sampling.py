@@ -1,0 +1,108 @@
+"""Ray sample placement.
+
+Replaces the reference's stratified samplers: `sample_rays_uniform`
+(nerf_runner.py:68-87), the occupied-voxel segment sampler CUDA kernel
+(`mycuda/common.cu:41-125` via nerf_runner.py:980-1010), and hierarchical
+`sample_pdf` (nerf_helpers.py:324-354). Pure XLA: cumsum + searchsorted,
+static shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "perturb"))
+def sample_rays_uniform(key, near, far, n_samples: int, perturb: bool = True):
+    """Stratified uniform z samples in [near, far] per ray.
+    @near, @far: (N,1). Returns (N, n_samples)."""
+    N = near.shape[0]
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+    z = near * (1.0 - t) + far * t
+    if perturb:
+        mids = 0.5 * (z[:, 1:] + z[:, :-1])
+        upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+        u = jax.random.uniform(key, (N, n_samples))
+        z = lower + (upper - lower) * u
+        z = jnp.clip(z, near, far)
+    return z
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "perturb"))
+def sample_occupied_steps(key, t0, t1, occ, n_samples: int, perturb: bool = True,
+                          t_cap=None):
+    """Stratified samples distributed over the union of occupied ray steps.
+
+    Semantics mirror `sampleRaysUniformOccupiedVoxels` (mycuda/common.cu:41):
+    concatenate the occupied segments of each ray, draw stratified uniform
+    samples on the concatenated length, then map each sample back into its
+    segment. Here segments are the uniform DDA steps from
+    `ray_trace_occupancy`, so the map-back is a searchsorted over the
+    cumulative occupied length.
+
+    @t0,t1: (N,S) step bounds; @occ: (N,S) bool; @t_cap: optional (N,) upper
+    clamp (depth + trunc, ref nerf_runner.py:992-999). Rays with no occupied
+    step fall back to the full step range. Returns (N, n_samples) t values.
+    """
+    N, S = occ.shape
+    seg_len = (t1 - t0)
+    if t_cap is not None:
+        # clip segments beyond the cap (reference clamps z_in_out to depth+trunc)
+        t0c = jnp.minimum(t0, t_cap[:, None])
+        t1c = jnp.minimum(t1, t_cap[:, None])
+        seg_len = t1c - t0c
+        t0 = t0c
+    seg_len = jnp.where(occ, seg_len, 0.0)
+    total = jnp.sum(seg_len, axis=-1, keepdims=True)  # (N,1)
+    no_hit = total[:, 0] <= 1e-12
+
+    # stratified u in [0, total)
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+    if perturb:
+        mids_hi = jnp.minimum(t + 0.5 / max(n_samples - 1, 1), 1.0)
+        mids_lo = jnp.maximum(t - 0.5 / max(n_samples - 1, 1), 0.0)
+        u01 = mids_lo + (mids_hi - mids_lo) * jax.random.uniform(key, (N, n_samples))
+    else:
+        u01 = jnp.broadcast_to(t, (N, n_samples))
+    u = u01 * total
+
+    cum = jnp.cumsum(seg_len, axis=-1)  # (N,S)
+    cum0 = jnp.concatenate([jnp.zeros((N, 1)), cum[:, :-1]], axis=-1)
+    idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cum, u)
+    idx = jnp.clip(idx, 0, S - 1)
+    base = jnp.take_along_axis(t0, idx, axis=-1)
+    off = u - jnp.take_along_axis(cum0, idx, axis=-1)
+    z = base + off
+
+    # fallback: uniform over the whole step range when nothing occupied
+    z_uniform = t0[:, :1] + u01 * (t1[:, -1:] - t0[:, :1])
+    return jnp.where(no_hit[:, None], z_uniform, z)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "det"))
+def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
+    """Hierarchical importance sampling by inverse-CDF
+    (ref nerf_helpers.py:324-354). @bins: (N,B), @weights: (N,B-1)."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (N,B)
+    N = cdf.shape[0]
+    if det:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples), (N, n_samples))
+    else:
+        u = jax.random.uniform(key, (N, n_samples))
+    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
