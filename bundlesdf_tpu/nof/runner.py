@@ -1,0 +1,389 @@
+"""NofRunner — per-video Neural Object Field trainer.
+
+Functional re-design of the reference `NerfRunner` (`nerf_runner.py:112-433`):
+same inputs (normalized keyframe images/depths/masks/normals + GL poses +
+point cloud for the acceleration structure), same outputs (optimized poses,
+mesh), but the training loop is a single donated lax.scan on device
+(nof/train.py) and the octree is a dense occupancy grid (ops/occupancy.py).
+
+Ray construction (`make_frame_rays` nerf_runner.py:246-316) happens once on
+host in numpy; the resulting ray store is a dict of device arrays.
+"""
+from __future__ import annotations
+
+import logging
+import math
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from bundlesdf_tpu.mesh import Mesh, marching_tetrahedra
+from bundlesdf_tpu.nof.losses import LossConfig
+from bundlesdf_tpu.nof.models import (NofSpec, init_nof_params, nof_sdf,
+                                      pose_array_matrices)
+from bundlesdf_tpu.nof.render import RenderConfig, render_rays
+from bundlesdf_tpu.nof.train import (TrainConfig, make_optimizer, train_steps)
+from bundlesdf_tpu.ops.hashgrid import HashGridSpec
+from bundlesdf_tpu.ops.occupancy import OccupancyGrid, build_occupancy_grid
+from bundlesdf_tpu.utils.common import BAD_COLOR, BAD_DEPTH, GLCAM_IN_CVCAM
+
+
+def preprocess_frame_data(rgbs, depths, masks, normal_maps, poses, sc_factor,
+                          translation):
+    """Normalize raw keyframe data into NOF space (ref `preprocess_data`
+    nerf_helpers.py:218-240): sentinel-fill masked-out pixels, scale depth,
+    normalize poses. Arrays are modified copies."""
+    rgbs = np.array(rgbs)
+    depths = np.array(depths, np.float32)
+    poses = np.array(poses, np.float64)
+    depths[depths < 0.1] = BAD_DEPTH
+    if masks is not None:
+        masks = np.array(masks)
+        rgbs[masks == 0] = BAD_COLOR
+        depths[masks == 0] = BAD_DEPTH
+        if normal_maps is not None:
+            normal_maps = np.array(normal_maps)
+            normal_maps[..., [1, 2]] *= -1  # to OpenGL
+            normal_maps[masks == 0] = 0
+        masks = masks[..., None]
+    rgbs = (rgbs / 255.0).astype(np.float32)
+    depths = depths * sc_factor
+    depths = depths[..., None]
+    poses[:, :3, 3] += translation
+    poses[:, :3, 3] *= sc_factor
+    return rgbs, depths, masks, normal_maps, poses
+
+
+def get_camera_rays_np(H, W, K):
+    """Pinhole rays in the OpenGL convention (y up, z backward), matching
+    `get_camera_rays_np` (nerf_helpers.py:358-363)."""
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing="xy")
+    return np.stack([(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1],
+                     -np.ones_like(i)], axis=-1)
+
+
+def ray_box_near_far(origins, dirs, bounds):
+    """Per-ray entry/exit of an AABB; returns z-depth (|unit_dir.z| scaled)
+    near/far and a hit mask (ref `ray_box_intersection_batch`
+    nerf_helpers.py:403-446 + `compute_near_far_and_filter_rays`
+    nerf_runner.py:39-65)."""
+    dirs_unit = dirs / (np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-10)
+    inv = 1.0 / np.where(np.abs(dirs_unit) < 1e-12, 1e-12, dirs_unit)
+    t0 = (bounds[0] - origins) * inv
+    t1 = (bounds[1] - origins) * inv
+    tmin = np.minimum(t0, t1)
+    tmax = np.maximum(t0, t1)
+    tmin = np.where(tmin < 0, 0.0, tmin)  # per-axis clamp as in the reference
+    near = tmin.max(axis=-1)
+    far = tmax.min(axis=-1)
+    hit = near <= far
+    return near, far, hit
+
+
+class NofRunner:
+    """Owns NOF params/optimizer/ray store for one (growing) keyframe set.
+
+    @cfg: NOF config dict (schema of config.yml) with 'sc_factor' and
+    'translation' already set.
+    @images/depths/masks/normal_maps: outputs of `preprocess_frame_data`.
+    @poses: (F,4,4) normalized GL cam-to-object.
+    @build_octree_pts: (N,3) normalized cloud for the occupancy grid.
+    """
+
+    def __init__(self, cfg, images, depths, masks, normal_maps, poses, K,
+                 occ_masks=None, build_octree_pts=None, seed=0):
+        self.cfg = cfg
+        self.images = np.asarray(images)
+        self.depths = np.asarray(depths)
+        self.masks = np.asarray(masks)
+        self.normal_maps = None if normal_maps is None else np.asarray(normal_maps)
+        self.occ_masks = None if occ_masks is None else np.asarray(occ_masks)
+        self.poses = np.asarray(poses, np.float64)
+        self.K = np.asarray(K, np.float64).copy()
+        self.build_octree_pts = (None if build_octree_pts is None
+                                 else np.asarray(build_octree_pts))
+        self.mesh = None
+        self.global_step = 0
+        self.N_iters = cfg["n_step"] + 1
+
+        down = int(cfg.get("down_scale_ratio", 1))
+        if down != 1:
+            H, W = self.images.shape[1:3]
+            self.images = self.images[:, ::down, ::down]
+            self.depths = self.depths[:, ::down, ::down]
+            self.masks = self.masks[:, ::down, ::down]
+            if self.normal_maps is not None:
+                self.normal_maps = self.normal_maps[:, ::down, ::down]
+            if self.occ_masks is not None:
+                self.occ_masks = self.occ_masks[:, ::down, ::down]
+            h2, w2 = self.images.shape[1:3]
+            self.K[0] *= float(w2) / W
+            self.K[1] *= float(h2) / H
+        self.H, self.W = self.images.shape[1:3]
+
+        sc = cfg["sc_factor"]
+        self.occ_grid = self._build_occupancy()
+
+        grid = HashGridSpec(
+            n_levels=cfg["num_levels"], level_dim=cfg["feature_grid_dim"],
+            base_res=cfg["base_res"], finest_res=cfg["finest_res"],
+            log2_hashmap_size=cfg["log2_hashmap_size"])
+        self.spec = NofSpec(
+            grid=grid, sh_degree=cfg["multires_views"],
+            frame_features=cfg["frame_features"], n_frames=len(self.images),
+            max_trans=cfg["max_trans"] * sc, max_rot_deg=cfg["max_rot"],
+            use_viewdirs=bool(cfg["use_viewdirs"]))
+        self.rcfg = RenderConfig(
+            n_samples=cfg["N_samples"],
+            n_samples_around_depth=cfg["N_samples_around_depth"],
+            trunc=cfg["trunc"] * sc, neg_trunc_ratio=cfg["neg_trunc_ratio"],
+            sdf_lambda=cfg["sdf_lambda"], near=cfg["near"] * sc,
+            far=cfg["far"] * sc,
+            n_trace_steps=int(cfg.get("n_trace_steps", 128)),
+            raw_noise_std=cfg["raw_noise_std"])
+        self.lcfg = LossConfig(
+            rgb_weight=cfg["rgb_weight"], fs_weight=cfg["fs_weight"],
+            empty_weight=cfg["empty_weight"], trunc_weight=cfg["trunc_weight"],
+            fs_rgb_weight=cfg["fs_rgb_weight"],
+            eikonal_weight=cfg["eikonal_weight"],
+            feature_reg_weight=cfg["feature_reg_weight"],
+            pose_reg_weight=cfg["pose_reg_weight"],
+            first_frame_weight=cfg["first_frame_weight"],
+            fs_sdf=cfg["fs_sdf"], near=cfg["near"] * sc, far=cfg["far"] * sc,
+            neg_trunc_ratio=cfg["neg_trunc_ratio"])
+        self.tcfg = TrainConfig(
+            n_step=cfg["n_step"], n_rand=cfg["N_rand"], lrate=cfg["lrate"],
+            lrate_pose=cfg["lrate_pose"], decay_rate=cfg["decay_rate"],
+            trunc=cfg["trunc"] * sc, trunc_start=cfg["trunc_start"] * sc,
+            trunc_decay_type=cfg["trunc_decay_type"])
+
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.params = init_nof_params(k_init, self.spec)
+        if not cfg["optimize_poses"]:
+            # pose gradients still flow but are multiplied by lr 0
+            self.tcfg = TrainConfig(**{**self.tcfg.__dict__, "lrate_pose": 0.0})
+        self.opt_state = make_optimizer().init(self.params)
+        self.c2w_array = jnp.asarray(self.poses, jnp.float32)
+
+        self.rays = self._build_ray_store()
+
+    # -- dataset -----------------------------------------------------------
+
+    def _build_occupancy(self) -> OccupancyGrid:
+        """Occupancy grid from the (normalized) scene cloud with the
+        reference's voxel-size and dilation math (`build_octree`
+        nerf_runner.py:436-489)."""
+        cfg = self.cfg
+        sc = cfg["sc_factor"]
+        vs = cfg["octree_smallest_voxel_size"] * sc
+        max_level = int(np.ceil(np.log2(2.0 / vs)))
+        res = 2 ** max_level
+        dilate_radius = max(1, int(np.ceil(cfg["octree_dilate_size"]
+                                           / cfg["octree_smallest_voxel_size"])))
+        pts = self.build_octree_pts
+        if pts is None:  # fall back to depth-projected cloud
+            pts = self._depth_cloud()
+        return build_occupancy_grid(pts, res=res, dilate_radius=dilate_radius)
+
+    def _depth_cloud(self):
+        pts = []
+        for i in range(len(self.images)):
+            d = self.depths[i, ..., 0]
+            m = (self.masks[i, ..., 0] > 0) & (d > 0.1 * self.cfg["sc_factor"]) \
+                & (d < BAD_DEPTH * self.cfg["sc_factor"] * 0.9)
+            vs, us = np.nonzero(m)
+            z = d[vs, us]
+            x = (us - self.K[0, 2]) * z / self.K[0, 0]
+            y = (vs - self.K[1, 2]) * z / self.K[1, 1]
+            p_cam = np.stack([x, -y, -z], axis=-1)  # GL
+            p_w = p_cam @ self.poses[i][:3, :3].T + self.poses[i][:3, 3]
+            pts.append(p_w)
+        return np.clip(np.concatenate(pts, axis=0), -1, 1)
+
+    def make_frame_rays(self, frame_id):
+        """Per-frame ray records (ref nerf_runner.py:246-316): GL dirs + rgb
+        + depth + mask + frame id + type, mask-dilated, invalid-depth culled,
+        near/far from the bounding box, occupancy-culled."""
+        cfg = self.cfg
+        sc = cfg["sc_factor"]
+        mask = self.masks[frame_id, ..., 0].copy().astype(np.uint8)
+        dirs = get_camera_rays_np(self.H, self.W, self.K)  # (H,W,3)
+        depth = self.depths[frame_id, ..., 0]
+        invalid_depth = ((depth < cfg["near"] * sc)
+                         | (depth > cfg["far"] * sc)) & (mask > 0)
+
+        down = int(cfg.get("down_scale_ratio", 1))
+        if frame_id == 0:  # first-frame mask assumed perfect -> big dilation
+            kernel = np.ones((100, 100), np.uint8)
+        else:
+            k = max(1, 60 // down)
+            kernel = np.ones((k, k), np.uint8)
+        mask = cv2.dilate(mask, kernel, iterations=1)
+        if self.occ_masks is not None:
+            mask[self.occ_masks[frame_id] > 0] = 0
+        if cfg["rays_valid_depth_only"]:
+            mask[invalid_depth] = 0
+
+        vs, us = np.nonzero(mask > 0)
+        if len(vs) == 0:
+            return None
+        rec = {
+            "dirs": dirs[vs, us],
+            "rgb": self.images[frame_id][vs, us].astype(np.float32),
+            "depth": depth[vs, us].astype(np.float32),
+            "mask": (self.masks[frame_id, ..., 0][vs, us] > 0).astype(np.float32),
+            "frame_id": np.full(len(vs), frame_id, np.int32),
+            "ray_type": np.zeros(len(vs), np.float32),
+        }
+        # near/far from the scene bounding box, in z-depth units
+        bounds = np.array(cfg["bounding_box"], np.float64).reshape(2, 3)
+        pose = self.poses[frame_id]
+        d_world = rec["dirs"] @ pose[:3, :3].T
+        o_world = np.broadcast_to(pose[:3, 3], d_world.shape)
+        near, far, hit = ray_box_near_far(o_world, d_world, bounds)
+        dz = np.abs(rec["dirs"][:, 2] / np.linalg.norm(rec["dirs"], axis=-1))
+        rec["near"] = np.abs(near * dz).astype(np.float32)
+        rec["far"] = np.abs(far * dz).astype(np.float32)
+        rec = {k: v[hit] for k, v in rec.items()}
+        return rec
+
+    def _build_ray_store(self):
+        recs = [r for i in range(len(self.images))
+                for r in [self.make_frame_rays(i)] if r is not None]
+        rays = {k: np.concatenate([r[k] for r in recs], axis=0)
+                for k in recs[0]}
+
+        if self.cfg.get("denoise_depth_use_octree_cloud", True) \
+                and self.build_octree_pts is not None:
+            # flag rays whose lifted 3D point is far from the scene cloud
+            # (ref nerf_runner.py:183-199)
+            sc = self.cfg["sc_factor"]
+            m = (rays["mask"] > 0) & (rays["depth"] <= self.cfg["far"] * sc)
+            pts_cam = rays["dirs"][m] * rays["depth"][m][:, None]
+            fids = rays["frame_id"][m]
+            P = self.poses[fids]
+            pts_w = np.einsum("nij,nj->ni", P[:, :3, :3], pts_cam) + P[:, :3, 3]
+            kdtree = cKDTree(self.build_octree_pts)
+            dists, _ = kdtree.query(pts_w, k=1, workers=-1)
+            bad = dists > 0.02 * sc
+            bad_ids = np.nonzero(m)[0][bad]
+            keep = np.ones(len(rays["depth"]), bool)
+            keep[bad_ids] = False
+            rays = {k: v[keep] for k, v in rays.items()}
+            logging.info(f"denoise dropped {int((~keep).sum())} rays")
+
+        logging.info(f"ray store: {len(rays['depth'])} rays")
+        return {k: jnp.asarray(v) for k, v in rays.items()}
+
+    # -- training ----------------------------------------------------------
+
+    def train(self, n_steps=None):
+        """Run the remaining training steps as one on-device scan
+        (ref train nerf_runner.py:855-863). Returns stacked metrics."""
+        n = self.N_iters if n_steps is None else n_steps
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, metrics = train_steps(
+            self.params, self.opt_state, self.rays, self.c2w_array,
+            self.occ_grid, k, jnp.asarray(self.global_step), self.spec,
+            self.rcfg, self.lcfg, self.tcfg, n, self.N_iters)
+        self.global_step += n
+        return jax.tree.map(np.asarray, metrics)
+
+    # -- outputs -----------------------------------------------------------
+
+    def extract_mesh(self, voxel_size=None, isolevel=0.0):
+        """Dense SDF grid -> marching tetrahedra (ref extract_mesh
+        nerf_runner.py:1351-1409). Occupancy-culled queries; non-occupied
+        cells get SDF=1."""
+        cfg = self.cfg
+        voxel_size = (cfg["mesh_resolution"] if voxel_size is None
+                      else voxel_size) * cfg["sc_factor"]
+        bounds = np.array(cfg["bounding_box"], np.float64).reshape(2, 3)
+        tx = np.arange(bounds[0, 0] + 0.5 * voxel_size, bounds[1, 0], voxel_size)
+        ty = np.arange(bounds[0, 1] + 0.5 * voxel_size, bounds[1, 1], voxel_size)
+        tz = np.arange(bounds[0, 2] + 0.5 * voxel_size, bounds[1, 2], voxel_size)
+        query = np.stack(np.meshgrid(tx, ty, tz, indexing="ij"), -1)
+        shape = query.shape[:3]
+        flat = jnp.asarray(query.reshape(-1, 3), jnp.float32)
+
+        from bundlesdf_tpu.ops.occupancy import query_occupancy
+        valid = np.asarray(query_occupancy(self.occ_grid, flat))
+        sigma = np.ones(len(flat), np.float32)
+        if valid.any():
+            chunk = 2 ** 18
+            vi = np.nonzero(valid)[0]
+            vals = []
+            for s in range(0, len(vi), chunk):
+                vals.append(np.asarray(
+                    nof_sdf(self.params, self.spec, flat[vi[s:s + chunk]])))
+            sigma[vi] = np.concatenate(vals)
+        sigma = sigma.reshape(shape)
+
+        verts, faces = marching_tetrahedra(sigma, isolevel)
+        if len(faces) == 0:
+            logging.info("extract_mesh: empty surface")
+            return None
+        # index coords -> normalized space
+        offset = np.array([tx[0], ty[0], tz[0]])
+        verts = verts * voxel_size + offset
+        self.mesh = Mesh(verts, faces)
+        return self.mesh
+
+    def get_optimized_poses_in_real_world(self):
+        """Apply pose corrections, undo normalization, anchor to frame 0,
+        convert GL->CV (ref `get_optimized_poses_in_real_world`
+        Utils.py:479-505). Returns (poses (F,4,4) cv cam-in-object, offset)."""
+        sc = self.cfg["sc_factor"]
+        translation = np.asarray(self.cfg["translation"]).reshape(3)
+        poses_norm = self.poses.copy()
+
+        original = poses_norm.copy()
+        original[:, :3, 3] /= sc
+        original[:, :3, 3] -= translation
+
+        tf = np.asarray(pose_array_matrices(
+            self.params["pose_array"], jnp.arange(len(poses_norm)),
+            self.spec.max_trans, self.spec.max_rot_deg))
+        optimized = tf @ poses_norm
+        optimized[:, :3, 3] /= sc
+        optimized[:, :3, 3] -= translation
+
+        offset = np.linalg.inv(optimized[0]) @ original[0]
+        out = np.einsum("nij,jk->nik", optimized, offset)
+        out = out @ GLCAM_IN_CVCAM
+        return out.astype(np.float32), offset
+
+    def mesh_to_real_world(self, mesh: Mesh, pose_offset=None):
+        """Undo normalization on mesh vertices (ref `mesh_to_real_world`
+        Utils.py:508-514)."""
+        if pose_offset is None:
+            pose_offset = np.eye(4)
+        sc = self.cfg["sc_factor"]
+        translation = np.asarray(self.cfg["translation"]).reshape(3)
+        mesh.vertices = mesh.vertices / sc - translation
+        mesh.apply_transform(pose_offset)
+        return mesh
+
+    def render_frame(self, frame_id, max_rays=2 ** 16):
+        """Render all rays of one training frame (debug/eval; ref
+        render_images nerf_runner.py:586-640). Returns dict of host arrays."""
+        fid_all = np.asarray(self.rays["frame_id"])
+        idx = np.nonzero(fid_all == frame_id)[0]
+        outs = {"rgb_map": [], "depth_pred": []}
+        for s in range(0, len(idx), max_rays):
+            batch = jax.tree.map(lambda a: a[jnp.asarray(idx[s:s + max_rays])],
+                                 self.rays)
+            out = render_rays(self.params, self.spec, self.rcfg, batch,
+                              self.c2w_array, self.occ_grid,
+                              jax.random.PRNGKey(0), perturb=False)
+            outs["rgb_map"].append(np.asarray(out["rgb_map"]))
+            depth_pred = np.asarray(
+                jnp.sum(out["weights"] * out["z_vals"], axis=-1))
+            outs["depth_pred"].append(depth_pred)
+        return {k: np.concatenate(v) if v else np.zeros((0,))
+                for k, v in outs.items()}, idx
