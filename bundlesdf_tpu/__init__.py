@@ -15,3 +15,11 @@ Layer map (mirrors reference /root/reference SURVEY.md §1, re-designed TPU-firs
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Pose/geometry math must not silently round through bfloat16: float32
+# matmuls use full precision everywhere (the TPU default is one-pass bf16,
+# which costs ~8e-3 relative error — fatal for SE(3) chains and Kabsch).
+# Speed-critical NOF matmuls opt into bf16 via explicit dtypes instead.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,450 @@
+"""BundleSdf orchestrator: per-frame tracking pipeline + concurrent Neural
+Object Field training with pose sync-back.
+
+Single-process re-design of the reference orchestrator (`bundlesdf.py:266-766`):
+the reference spawns a `run_nerf` child process and exchanges keyframe
+batches / optimized poses through a Manager dict
+(`bundlesdf.py:285-307,546-599`); here the NOF step is an on-device jitted
+program dispatched from the same host loop (JAX dispatch is async), so the
+channel is a plain Python list and the `sync_max_delay` busy-wait
+degenerates to synchronous hand-off.
+
+Public API mirrors the reference: `BundleSdf(cfg_track, cfg_nerf,
+start_nerf_keyframes).run(color, depth, K, id_str, mask, occ_mask,
+pose_in_model)`, `.run_global_nerf()`, `.on_finish()`.
+"""
+from __future__ import annotations
+
+import copy
+import logging
+import os
+
+import cv2
+import numpy as np
+import yaml
+
+from bundlesdf_tpu.config import (default_nerf_config, default_track_config,
+                                  load_config)
+from bundlesdf_tpu.matcher import OrbMatcher
+from bundlesdf_tpu.nof.runner import NofRunner, preprocess_frame_data
+from bundlesdf_tpu.scene.bounds import (compute_scene_bounds,
+                                        compute_scene_bounds_frame,
+                                        find_biggest_cluster,
+                                        voxel_downsample)
+from bundlesdf_tpu.tracker import Bundler, Frame, FrameStatus
+from bundlesdf_tpu.utils.common import GLCAM_IN_CVCAM, geodesic_distance_np
+
+
+class BundleSdf:
+    def __init__(self, cfg_track_dir=None, cfg_nerf_dir=None,
+                 start_nerf_keyframes=5, matcher=None, use_gui=False,
+                 cfg_track=None, cfg_nerf=None):
+        """@cfg_track_dir/@cfg_nerf_dir: YAML paths (reference schemas), or
+        pass dicts directly via @cfg_track/@cfg_nerf."""
+        self.cfg_track = (cfg_track if cfg_track is not None
+                          else load_config(cfg_track_dir, default_track_config()))
+        self.cfg_nerf = (cfg_nerf if cfg_nerf is not None
+                         else load_config(cfg_nerf_dir, default_nerf_config()))
+        self.start_nerf_keyframes = start_nerf_keyframes
+        self.debug_dir = self.cfg_track["debug_dir"]
+        self.SPDLOG = int(self.cfg_track.get("SPDLOG", 1))
+        os.makedirs(self.debug_dir, exist_ok=True)
+        self.matcher = matcher if matcher is not None else OrbMatcher()
+        self.bundler = Bundler(self.cfg_track, self.matcher)
+        self.K = None
+        self.cnt = -1
+
+        # NOF side state (replaces the run_nerf child, bundlesdf.py:64-260)
+        self.nerf: NofRunner | None = None
+        self.kf_to_nerf_list: list[dict] = []
+        self.nerf_num_frames = 0
+        self.cnt_nerf = -1
+        self.prev_pcd_real_scale = None
+        self.translation = None
+        self.sc_factor = None
+        self.mesh = None
+
+    # ------------------------------------------------------------------
+    def make_frame(self, color, depth, K, id_str, mask=None, occ_mask=None,
+                   pose_in_model=np.eye(4)):
+        self.cnt += 1
+        return Frame(color, depth, K, self.cnt, id_str, self.cfg_track,
+                     mask=mask, occ_mask=occ_mask, pose_in_model=pose_in_model)
+
+    # ------------------------------------------------------------------
+    # find_corres (ref bundlesdf.py:352-387)
+    # ------------------------------------------------------------------
+    def find_corres(self, frame_pairs):
+        b = self.bundler
+        is_match_ref = (len(frame_pairs) == 1
+                        and frame_pairs[0][0].ref_frame_id == frame_pairs[0][1].id
+                        and b.new_frame is frame_pairs[0][0])
+        if not frame_pairs:
+            return
+        imgsA = [p[0].color for p in frame_pairs]
+        imgsB = [p[1].color for p in frame_pairs]
+        raw = self.matcher.predict(imgsA, imgsB)
+
+        min_match_with_ref = self.cfg_track["feature_corres"]["min_match_with_ref"]
+        if is_match_ref and len(raw[0]) < min_match_with_ref:
+            b.new_frame.status = FrameStatus.FAIL
+            logging.info(f"frame {b.new_frame.id_str} FAIL: no matching")
+            return
+        for (fA, fB), uv in zip(frame_pairs, raw):
+            b.raw_matches_to_corres(fA, fB, uv)
+        b.run_ransac(frame_pairs)
+
+    # ------------------------------------------------------------------
+    # per-frame pipeline (ref process_new_frame bundlesdf.py:391-506)
+    # ------------------------------------------------------------------
+    def process_new_frame(self, frame: Frame):
+        b = self.bundler
+        b.new_frame = frame
+        cfg = self.cfg_track
+
+        if frame.id > 0:
+            ref_frame = b.frames[list(b.frames.keys())[-1]]
+            frame.ref_frame_id = ref_frame.id
+            frame.pose_in_model = ref_frame.pose_in_model.copy()
+        else:
+            b.first_frame = frame
+
+        frame.invalidate_pixels_by_mask(frame.fg_mask)
+        if frame.id == 0 and np.abs(frame.pose_in_model - np.eye(4)).max() <= 1e-4:
+            frame.set_new_init_coordinate()
+
+        n_fg = int((frame.fg_mask > 0).sum())
+        if n_fg < 100:
+            logging.info(f"frame {frame.id_str} empty mask, FAIL (n_fg={n_fg})")
+            frame.status = FrameStatus.FAIL
+            b.forget_frame(frame)
+            return
+
+        n_valid = frame.count_valid_points()
+        n_valid_first = b.first_frame.count_valid_points()
+        if n_valid < n_valid_first / 40.0:
+            logging.info(f"frame {frame.id_str} too few valid points "
+                         f"({n_valid} vs first {n_valid_first}), FAIL")
+            frame.status = FrameStatus.FAIL
+            b.forget_frame(frame)
+            return
+
+        if frame.id == 0:
+            b.check_and_add_keyframe(frame)
+            b.frames[frame.id] = frame
+            return
+
+        min_match_with_ref = cfg["feature_corres"]["min_match_with_ref"]
+        self.find_corres([(frame, ref_frame)])
+        if frame.status == FrameStatus.FAIL:
+            b.forget_frame(frame)
+            return
+
+        # re-localize against the keyframe pool by covisibility if the ref
+        # match failed (ref bundlesdf.py:443-471)
+        if b.n_matches(frame, ref_frame) < min_match_with_ref:
+            visibles = [b.covisibility(frame, kf) for kf in b.keyframes]
+            found = False
+            for idx in np.argsort(visibles)[::-1]:
+                kf = b.keyframes[idx]
+                logging.info(f"trying new ref frame {kf.id_str}")
+                ref_frame = kf
+                frame.ref_frame_id = kf.id
+                frame.pose_in_model = kf.pose_in_model.copy()
+                self.find_corres([(frame, kf)])
+                if b.n_matches(frame, kf) >= min_match_with_ref:
+                    logging.info(f"re-chose ref frame {kf.id_str}")
+                    found = True
+                    break
+            if not found:
+                frame.status = FrameStatus.FAIL
+                logging.info(f"frame {frame.id_str} no suitable ref, FAIL")
+                b.forget_frame(frame)
+                return
+
+        offset = b.procrustes(frame, ref_frame)
+        frame.pose_in_model = offset @ frame.pose_in_model
+
+        # window eviction (ref bundlesdf.py:479-487)
+        window_size = cfg["bundle"]["window_size"]
+        if len(b.frames) - len(b.keyframes) > window_size:
+            for fid in list(b.frames.keys()):
+                if b.forget_frame(b.frames[fid]):
+                    logging.info(f"window full, forget {fid}")
+                    break
+
+        b.frames[frame.id] = frame
+        b.select_keyframes_for_ba()
+        pairs = b.get_feature_match_pairs(b.local_frames)
+        self.find_corres(pairs)
+        if frame.status == FrameStatus.FAIL:
+            b.forget_frame(frame)
+            return
+
+        b.optimize(b.local_frames)
+        if frame.status == FrameStatus.FAIL:
+            b.forget_frame(frame)
+            return
+
+        b.check_and_add_keyframe(frame)
+
+    # ------------------------------------------------------------------
+    # main entry (ref run bundlesdf.py:510-632)
+    # ------------------------------------------------------------------
+    def run(self, color, depth, K, id_str, mask=None, occ_mask=None,
+            pose_in_model=np.eye(4)):
+        """@color: (H,W,3) RGB uint8; @depth: (H,W) float32 meters."""
+        if self.K is None:
+            self.K = np.asarray(K, np.float64)
+            if self.SPDLOG >= 1:
+                np.savetxt(os.path.join(self.debug_dir, "cam_K.txt"), self.K)
+
+        depth = np.asarray(depth, np.float32).copy()
+        percentile = self.cfg_track["depth_processing"]["percentile"]
+        if percentile < 100:
+            valid = (depth >= 0.1) & (np.asarray(mask) > 0)
+            if valid.any():
+                thres = np.percentile(depth[valid], percentile)
+                depth[depth >= thres] = 0
+
+        frame = self.make_frame(color, depth, K, id_str, mask, occ_mask,
+                                pose_in_model)
+        self.process_new_frame(frame)
+
+        if self.bundler.keyframes and self.bundler.keyframes[-1] is frame:
+            self.kf_to_nerf_list.append({
+                "rgb": np.asarray(color).copy(),
+                "depth": frame.depth.copy(),
+                "mask": (frame.fg_mask > 0).astype(np.uint8),
+                "occ_mask": None if occ_mask is None else np.asarray(occ_mask),
+                "normal_map": None,
+            })
+            ready = (self.cnt_nerf >= 0
+                     or len(self.kf_to_nerf_list) >= self.start_nerf_keyframes)
+            if ready:
+                self._run_nerf_batch()
+                self._sync_poses_from_nerf()
+
+        self.save_newframe_result(frame)
+        return frame
+
+    # ------------------------------------------------------------------
+    # NOF batch (ref run_nerf bundlesdf.py:64-260, continual branch)
+    # ------------------------------------------------------------------
+    def _run_nerf_batch(self):
+        batch = self.kf_to_nerf_list
+        self.kf_to_nerf_list = []
+        rgbs = np.array([f["rgb"] for f in batch])
+        depths = np.array([f["depth"] for f in batch])
+        masks = np.array([f["mask"] for f in batch])
+        occ = [f["occ_mask"] for f in batch]
+        occ_masks = (np.array(occ) if all(o is not None for o in occ) and occ
+                     else None)
+        self.nerf_num_frames += len(rgbs)
+        self.cnt_nerf += 1
+
+        cam_in_obs = np.array([kf.pose_in_model for kf in
+                               self.bundler.keyframes])
+        glcam_in_obs = cam_in_obs @ GLCAM_IN_CVCAM
+        cfg_nerf = self.cfg_nerf
+
+        if self.cnt_nerf == 0:
+            if self.translation is None:
+                sc_factor, translation, pcd_real, pcd_norm = \
+                    compute_scene_bounds(
+                        rgbs, depths, masks, glcam_in_obs, self.K,
+                        use_mask=True, eps=cfg_nerf["dbscan_eps"],
+                        min_samples=cfg_nerf["dbscan_eps_min_samples"])
+                sc_factor *= 0.7  # whole object within bounds (ref :151)
+                self.sc_factor = float(sc_factor)
+                self.translation = translation
+            cfg_nerf["sc_factor"] = self.sc_factor
+            cfg_nerf["translation"] = np.asarray(self.translation)
+            pcd_all = pcd_real
+        else:
+            pcd_all = self.prev_pcd_real_scale
+            for i in range(len(rgbs)):
+                gl = glcam_in_obs[len(glcam_in_obs) - len(rgbs) + i]
+                pts = compute_scene_bounds_frame(depths[i], masks[i], gl,
+                                                 self.K)
+                if pts is not None:
+                    pcd_all = np.concatenate([pcd_all, pts], axis=0)
+            pcd_all = voxel_downsample(pcd_all, 0.01)
+            _, keep = find_biggest_cluster(pcd_all,
+                                           eps=cfg_nerf["dbscan_eps"],
+                                           min_samples=cfg_nerf["dbscan_eps_min_samples"])
+            pcd_all = pcd_all[keep]
+
+        tf_norm = np.eye(4)
+        tf_norm[:3, 3] = np.asarray(self.translation)
+        tf1 = np.eye(4)
+        tf1[:3, :3] *= self.sc_factor
+        tf_norm = tf1 @ tf_norm
+        pcd_norm = pcd_all @ tf_norm[:3, :3].T + tf_norm[:3, 3]
+        pcd_norm = np.clip(pcd_norm, -1, 1)
+
+        # preprocess the NEW batch's images but ALL keyframe poses (the ref
+        # passes all poses so moved keyframes reset, bundlesdf.py:185,223)
+        rgbs_p, depths_p, masks_p, normals_p, poses_all = preprocess_frame_data(
+            rgbs, depths, masks, None, glcam_in_obs.copy(),
+            self.sc_factor, np.asarray(self.translation))
+
+        if self.cnt_nerf == 0 or not cfg_nerf["continual"]:
+            self.nerf = NofRunner(copy.deepcopy(cfg_nerf), rgbs_p, depths_p,
+                                  masks_p, normals_p, poses_all, self.K,
+                                  occ_masks=occ_masks,
+                                  build_octree_pts=pcd_norm)
+        else:
+            self.nerf.add_new_frames(rgbs_p, depths_p, masks_p, normals_p,
+                                     poses_all, occ_masks=occ_masks,
+                                     new_pcd=pcd_norm, reuse_weights=False)
+        self.nerf.train()
+        self.prev_pcd_real_scale = voxel_downsample(pcd_all, 0.01)
+
+    def _sync_poses_from_nerf(self):
+        """Overwrite keyframe poses with NOF-optimized poses and mark them
+        nerfed (ref bundlesdf.py:587-617)."""
+        if self.nerf is None:
+            return
+        optimized, offset = self.nerf.get_optimized_poses_in_real_world()
+        rematch = self.cfg_track["feature_corres"]["rematch_after_nerf"]
+        frames_large_update = []
+        for i in range(min(len(optimized), len(self.bundler.keyframes))):
+            kf = self.bundler.keyframes[i]
+            if rematch:
+                trans_up = np.linalg.norm(optimized[i][:3, 3]
+                                          - kf.pose_in_model[:3, 3])
+                rot_up = geodesic_distance_np(optimized[i][:3, :3],
+                                              kf.pose_in_model[:3, :3])
+                if trans_up >= 0.005 or rot_up >= np.deg2rad(5):
+                    frames_large_update.append(kf)
+            kf.pose_in_model = optimized[i].astype(np.float64)
+            kf.nerfed = True
+        if rematch and frames_large_update:
+            ids = {f.id for f in frames_large_update}
+            for key in [k for k in self.bundler.matches
+                        if k[0] in ids or k[1] in ids]:
+                del self.bundler.matches[key]
+
+        mesh = self.nerf.extract_mesh()
+        if mesh is not None:
+            self.mesh = self.nerf.mesh_to_real_world(mesh, pose_offset=offset)
+
+    # ------------------------------------------------------------------
+    # outputs (ref saveNewframeResult Bundler.cpp:959-1111)
+    # ------------------------------------------------------------------
+    def save_newframe_result(self, frame: Frame):
+        if self.SPDLOG < 1:
+            return
+        dd = self.debug_dir
+        for sub in ("ob_in_cam", "color", "depth_filtered", "mask"):
+            os.makedirs(os.path.join(dd, sub), exist_ok=True)
+        ob_in_cam = np.linalg.inv(frame.pose_in_model)
+        np.savetxt(os.path.join(dd, "ob_in_cam", f"{frame.id_str}.txt"),
+                   ob_in_cam)
+        cv2.imwrite(os.path.join(dd, "color", f"{frame.id_str}.png"),
+                    frame.color[..., ::-1])
+        cv2.imwrite(os.path.join(dd, "depth_filtered", f"{frame.id_str}.png"),
+                    (frame.depth * 1000).astype(np.uint16))
+        cv2.imwrite(os.path.join(dd, "mask", f"{frame.id_str}.png"),
+                    (frame.fg_mask > 0).astype(np.uint8) * 255)
+        # keyframe registry for global refine (ref keyframes.yml)
+        kf_dir = os.path.join(dd, frame.id_str)
+        os.makedirs(kf_dir, exist_ok=True)
+        reg = {}
+        for kf in self.bundler.keyframes:
+            reg[kf.id_str] = {
+                "cam_in_ob": kf.pose_in_model.reshape(-1).tolist(),
+                "nerfed": bool(kf.nerfed),
+            }
+        with open(os.path.join(kf_dir, "keyframes.yml"), "w") as f:
+            yaml.safe_dump(reg, f)
+
+    # ------------------------------------------------------------------
+    def on_finish(self):
+        """Final NOF flush (ref on_finish bundlesdf.py:324-338)."""
+        if self.kf_to_nerf_list and (self.cnt_nerf >= 0 or
+                                     len(self.kf_to_nerf_list) >=
+                                     self.start_nerf_keyframes):
+            self._run_nerf_batch()
+            self._sync_poses_from_nerf()
+
+    # ------------------------------------------------------------------
+    # offline global refine (ref run_global_nerf bundlesdf.py:636-766)
+    # ------------------------------------------------------------------
+    def run_global_nerf(self, reader=None, get_texture=False, tex_res=1024,
+                        out_dir=None):
+        dd = self.debug_dir
+        self.K = np.loadtxt(os.path.join(dd, "cam_K.txt")).reshape(3, 3)
+        # latest frame stamp with a keyframe registry
+        stamps = sorted([d for d in os.listdir(dd)
+                         if os.path.isdir(os.path.join(dd, d))
+                         and os.path.exists(os.path.join(dd, d,
+                                                         "keyframes.yml"))])
+        if not stamps:
+            raise FileNotFoundError("no keyframes.yml found; run online first")
+        with open(os.path.join(dd, stamps[-1], "keyframes.yml")) as f:
+            reg = yaml.safe_load(f)
+
+        ids = sorted(reg.keys())
+        n_train = int(self.cfg_nerf.get("n_train_image", 300))
+        if len(ids) > n_train:
+            sel = np.linspace(0, len(ids) - 1, n_train).astype(int)
+            ids = [ids[i] for i in sel]
+
+        rgbs, depths, masks, poses = [], [], [], []
+        for id_str in ids:
+            c = cv2.imread(os.path.join(dd, "color", f"{id_str}.png"))[..., ::-1]
+            d = cv2.imread(os.path.join(dd, "depth_filtered", f"{id_str}.png"),
+                           -1).astype(np.float32) / 1000.0
+            m = cv2.imread(os.path.join(dd, "mask", f"{id_str}.png"), -1)
+            rgbs.append(c)
+            depths.append(d)
+            masks.append((m > 0).astype(np.uint8))
+            poses.append(np.asarray(reg[id_str]["cam_in_ob"],
+                                    np.float64).reshape(4, 4))
+        rgbs = np.array(rgbs)
+        depths = np.array(depths)
+        masks = np.array(masks)
+        cam_in_obs = np.array(poses)
+        glcam_in_obs = cam_in_obs @ GLCAM_IN_CVCAM
+
+        cfg = copy.deepcopy(self.cfg_nerf)
+        if self.sc_factor is None:
+            sc_factor, translation, pcd_real, pcd_norm = compute_scene_bounds(
+                rgbs, depths, masks, glcam_in_obs, self.K, use_mask=True,
+                eps=cfg["dbscan_eps"],
+                min_samples=cfg["dbscan_eps_min_samples"])
+            self.sc_factor, self.translation = float(sc_factor), translation
+        else:
+            _, _, pcd_real, pcd_norm = compute_scene_bounds(
+                rgbs, depths, masks, glcam_in_obs, self.K, use_mask=True,
+                translation_cvcam=np.asarray(self.translation),
+                sc_factor=self.sc_factor, eps=cfg["dbscan_eps"],
+                min_samples=cfg["dbscan_eps_min_samples"])
+        cfg["sc_factor"] = self.sc_factor
+        cfg["translation"] = np.asarray(self.translation)
+
+        rgbs_p, depths_p, masks_p, normals_p, poses_p = preprocess_frame_data(
+            rgbs, depths, masks, None, glcam_in_obs.copy(), self.sc_factor,
+            np.asarray(self.translation))
+        self.nerf = NofRunner(cfg, rgbs_p, depths_p, masks_p, normals_p,
+                              poses_p, self.K, build_octree_pts=pcd_norm)
+        self.nerf.train()
+
+        mesh = self.nerf.extract_mesh(voxel_size=cfg["mesh_resolution"])
+        out_dir = out_dir or os.path.join(dd, "nerf_with_bundletrack_online")
+        os.makedirs(out_dir, exist_ok=True)
+        if mesh is not None:
+            mesh.merge_vertices()
+            mesh.keep_biggest_component()
+            mesh.export(os.path.join(out_dir, "mesh_cleaned.obj"))
+            _, offset = self.nerf.get_optimized_poses_in_real_world()
+            world = self.nerf.mesh_to_real_world(mesh.copy(),
+                                                 pose_offset=offset)
+            world.export(os.path.join(out_dir, "mesh_real_world.obj"))
+            self.mesh = world
+        optimized, _ = self.nerf.get_optimized_poses_in_real_world()
+        np.savetxt(os.path.join(out_dir, "optimized_poses.txt"),
+                   optimized.reshape(-1, 4))
+        return self.mesh

@@ -252,8 +252,10 @@ class NofRunner:
         rec = {k: v[hit] for k, v in rec.items()}
         return rec
 
-    def _build_ray_store(self):
-        recs = [r for i in range(len(self.images))
+    def _build_ray_store(self, frame_range=None):
+        if frame_range is None:
+            frame_range = range(len(self.images))
+        recs = [r for i in frame_range
                 for r in [self.make_frame_rays(i)] if r is not None]
         rays = {k: np.concatenate([r[k] for r in recs], axis=0)
                 for k in recs[0]}
@@ -279,6 +281,65 @@ class NofRunner:
 
         logging.info(f"ray store: {len(rays['depth'])} rays")
         return {k: jnp.asarray(v) for k, v in rays.items()}
+
+    # -- continual learning (ref add_new_frames nerf_runner.py:352-433) ----
+
+    def add_new_frames(self, images, depths, masks, normal_maps, poses,
+                       occ_masks=None, new_pcd=None, reuse_weights=False):
+        """Append a new keyframe batch and retrain. @images...: only the NEW
+        frames (already preprocessed); @poses: ALL frames' normalized GL
+        poses (keyframe poses may have moved); @new_pcd: updated normalized
+        scene cloud for the occupancy grid."""
+        prev_n = len(self.images)
+        down = int(self.cfg.get("down_scale_ratio", 1))
+        if down != 1:
+            images = images[:, ::down, ::down]
+            depths = depths[:, ::down, ::down]
+            masks = masks[:, ::down, ::down]
+            if normal_maps is not None:
+                normal_maps = normal_maps[:, ::down, ::down]
+            if occ_masks is not None:
+                occ_masks = occ_masks[:, ::down, ::down]
+        self.images = np.concatenate([self.images, images], axis=0)
+        self.depths = np.concatenate([self.depths, depths], axis=0)
+        self.masks = np.concatenate([self.masks, masks], axis=0)
+        if normal_maps is not None and self.normal_maps is not None:
+            self.normal_maps = np.concatenate([self.normal_maps, normal_maps],
+                                              axis=0)
+        if occ_masks is not None and self.occ_masks is not None:
+            self.occ_masks = np.concatenate([self.occ_masks, occ_masks],
+                                            axis=0)
+        self.poses = np.asarray(poses, np.float64).copy()
+        self.c2w_array = jnp.asarray(self.poses, jnp.float32)
+
+        if new_pcd is not None:
+            from bundlesdf_tpu.scene.bounds import voxel_downsample
+            self.build_octree_pts = voxel_downsample(np.asarray(new_pcd),
+                                                     0.005)
+            self.occ_grid = self._build_occupancy()
+
+        old_params = self.params
+        self.spec = NofSpec(**{**self.spec.__dict__,
+                               "n_frames": len(self.images)})
+        self.key, k_init = jax.random.split(self.key)
+        self.params = init_nof_params(k_init, self.spec)
+        if reuse_weights:
+            # keep field weights; per-frame arrays restart except carried-over
+            # feature rows (ref nerf_runner.py:385-397; delta poses are new)
+            self.params["table"] = old_params["table"]
+            self.params["sigma_net"] = old_params["sigma_net"]
+            self.params["color_net"] = old_params["color_net"]
+            if "feature_array" in old_params:
+                self.params["feature_array"] = (
+                    self.params["feature_array"]
+                    .at[:prev_n].set(old_params["feature_array"][:prev_n]))
+        self.opt_state = make_optimizer().init(self.params)
+        self.global_step = 0
+
+        new_rays = self._build_ray_store(frame_range=range(prev_n,
+                                                           len(self.images)))
+        self.rays = {k: jnp.concatenate([self.rays[k], new_rays[k]], axis=0)
+                     for k in self.rays}
 
     # -- training ----------------------------------------------------------
 

@@ -1,0 +1,109 @@
+"""RGBD frame record with fused on-device preprocessing.
+
+Re-design of the reference `Frame` (`BundleTrack/src/Frame.{h,cpp}`): the
+CUDA preprocessing chain (erode -> 2x bilateral -> xyz -> normals -> edge
+filter -> mask invalidation, Frame.cpp:225-334) is one fused XLA call
+(ops/preprocess.py); pose and bookkeeping stay host-side numpy.
+"""
+from __future__ import annotations
+
+import enum
+import math
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from bundlesdf_tpu.ops.preprocess import preprocess_depth_frame
+
+
+class FrameStatus(enum.Enum):
+    """Ref Frame.h:27-32."""
+    FAIL = 0
+    NO_BA = 1
+    OTHER = 2
+
+
+class Frame:
+    """@color: (H,W,3) uint8; @depth: (H,W) float32 meters; @mask optional
+    (H,W); @pose_in_model: (4,4) cam-in-object (cv convention)."""
+
+    def __init__(self, color, depth, K, id: int, id_str: str, cfg,
+                 mask=None, occ_mask=None, pose_in_model=None):
+        self.cfg = cfg
+        self.color = np.asarray(color)
+        self.H, self.W = self.color.shape[:2]
+        self.K = np.asarray(K, np.float64)
+        self.id = id
+        self.id_str = id_str
+        self.status = FrameStatus.OTHER
+        self.ref_frame_id = -1
+        self.nerfed = False
+        self.pose_in_model = (np.eye(4) if pose_in_model is None
+                              else np.asarray(pose_in_model, np.float64).copy())
+        self.fg_mask = (np.ones((self.H, self.W), np.uint8) if mask is None
+                        else (np.asarray(mask) > 0).astype(np.uint8))
+        self.occ_mask = None if occ_mask is None else np.asarray(occ_mask)
+        if self.occ_mask is not None:
+            self.fg_mask[self.occ_mask > 0] = 0
+
+        dp = cfg["depth_processing"]
+        d, xyz, nrm = preprocess_depth_frame(
+            jnp.asarray(depth, jnp.float32), jnp.asarray(self.K, jnp.float32),
+            mask=jnp.asarray(self.fg_mask),
+            erode_radius=int(dp["erode"]["radius"]),
+            erode_diff=dp["erode"]["diff"], erode_ratio=dp["erode"]["ratio"],
+            bf_radius=int(dp["bilateral_filter"]["radius"]),
+            sigma_d=dp["bilateral_filter"]["sigma_D"],
+            sigma_r=dp["bilateral_filter"]["sigma_R"],
+            zfar=dp["zfar"],
+            edge_angle_thres_rad=dp["edge_normal_thres"] * math.pi / 180.0)
+        # device copies feed covisibility/BA kernels; host copies feed the
+        # match store and cheap logic
+        self.depth_dev = d
+        self.xyz_dev = xyz
+        self.normal_dev = nrm
+        self.depth = np.asarray(d)
+        self.xyz_map = np.asarray(xyz)
+        self.normal_map = np.asarray(nrm)
+
+    # -- ref Frame.cpp:453-464 ---------------------------------------------
+    def count_valid_points(self) -> int:
+        return int(((self.depth > 0.1) & (self.fg_mask > 0)).sum())
+
+    # -- ref Frame.cpp:147-170 ---------------------------------------------
+    def set_new_init_coordinate(self):
+        """Center the model frame on the first frame's (outlier-removed)
+        object cloud: pose translation = -bbox center."""
+        valid = (self.depth > 0.1) & (self.fg_mask > 0)
+        pts = self.xyz_map[valid]
+        if len(pts) < 10:
+            return
+        pts = statistical_outlier_removal(pts, n_neighbors=30, std_mul=3.0)
+        center = (pts.max(axis=0) + pts.min(axis=0)) / 2.0
+        self.pose_in_model[:3, 3] = -center
+
+    def invalidate_pixels_by_mask(self, mask):
+        """Ref Frame.cpp:432-451 — zero depth/normals outside the mask."""
+        keep = np.asarray(mask) > 0
+        self.depth = np.where(keep, self.depth, 0.0)
+        self.normal_map = np.where(keep[..., None], self.normal_map, 0.0)
+        self.xyz_map = np.where(keep[..., None], self.xyz_map, 0.0)
+        self.depth_dev = jnp.asarray(self.depth)
+        self.xyz_dev = jnp.asarray(self.xyz_map)
+        self.normal_dev = jnp.asarray(self.normal_map)
+
+    def __repr__(self):
+        return f"Frame({self.id_str}, status={self.status.name})"
+
+
+def statistical_outlier_removal(pts, n_neighbors=30, std_mul=3.0):
+    """PCL-style statistical outlier removal (ref Utils::outlierRemovalStatistic):
+    drop points whose mean kNN distance exceeds mean + std_mul * std."""
+    if len(pts) <= n_neighbors:
+        return pts
+    tree = cKDTree(pts)
+    dists, _ = tree.query(pts, k=n_neighbors + 1, workers=-1)
+    mean_d = dists[:, 1:].mean(axis=1)
+    thres = mean_d.mean() + std_mul * mean_d.std()
+    return pts[mean_d <= thres]

@@ -62,6 +62,13 @@ def depth2xyzmap(depth, K):
     return xp.where(invalid[..., None], xp.zeros_like(xyz), xyz)
 
 
+def geodesic_distance_np(R1, R2):
+    """Rotation geodesic distance in radians, host numpy
+    (ref Utils.py:201-205)."""
+    cos = (np.trace(R1 @ R2.T) - 1.0) / 2.0
+    return float(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
 def _xp(arr):
     """numpy/jnp duality: dispatch on the array's module."""
     if isinstance(arr, np.ndarray):

@@ -55,6 +55,14 @@ def render_boxes_depth(cam_in_world, K, H, W, boxes):
         rel = (pts - center) / half
         face = np.argmax(np.abs(rel), axis=-1)
         shade = np.take(np.array([1.0, 0.82, 0.65]), face)
+        # procedural checkerboard + speckle texture on each face so feature
+        # matchers (ORB/LoFTR) have corners to latch onto
+        uv_ax = np.stack([(face + 1) % 3, (face + 2) % 3], axis=-1)
+        fu = np.take_along_axis(rel, uv_ax[..., :1], axis=-1)[..., 0]
+        fv = np.take_along_axis(rel, uv_ax[..., 1:], axis=-1)[..., 0]
+        checker = ((np.floor(fu * 6) + np.floor(fv * 6)) % 2)
+        speckle = 0.5 + 0.5 * np.sin(37.0 * fu + 61.0 * fv * fu + 13.0 * fv)
+        shade = shade * (0.55 + 0.3 * checker + 0.15 * speckle)
         for c in range(3):
             ch = np.clip(col[c] * shade, 0, 255).astype(np.uint8)
             color[..., c] = np.where(upd, ch, color[..., c])

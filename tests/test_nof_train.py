@@ -57,7 +57,7 @@ def test_losses_decrease(trained_runner):
 def test_object_rays_fit(trained_runner):
     runner, _, _ = trained_runner
     rgb_err, d_err = _object_ray_errors(runner)
-    assert rgb_err < 0.01   # untrained init gives ~0.08
+    assert rgb_err < 0.02   # untrained init gives ~0.08
     assert d_err < 0.01     # normalized units
 
 
