@@ -111,6 +111,26 @@ class Mesh:
         self.faces = remap[self.faces[fm]]
         return self
 
+    def oriented_bounds(self):
+        """PCA oriented bounding box (trimesh.bounds.oriented_bounds
+        equivalent): returns (to_origin (4,4), extents (3,)) such that
+        transforming the mesh by to_origin centers it axis-aligned."""
+        pts = self.vertices
+        center = pts.mean(axis=0)
+        cov = np.cov((pts - center).T)
+        _, vecs = np.linalg.eigh(cov)
+        R = vecs.T
+        if np.linalg.det(R) < 0:
+            R[2] *= -1
+        local = (pts - center) @ R.T
+        mn, mx = local.min(axis=0), local.max(axis=0)
+        extents = mx - mn
+        mid = (mn + mx) / 2
+        to_origin = np.eye(4)
+        to_origin[:3, :3] = R
+        to_origin[:3, 3] = -(R @ center) - mid
+        return to_origin, extents
+
     def sample_surface(self, n, seed=0):
         """Uniform area-weighted surface samples (ref trimesh.sample used in
         benchmark_ho3d.py:119)."""
