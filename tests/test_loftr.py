@@ -1,0 +1,144 @@
+"""JAX LoFTR: shapes, jit, static top-K contract, torch weight-port
+mapping, and pair canonicalization geometry."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bundlesdf_tpu.matcher.loftr import (LoftrConfig, LoftrMatcher,
+                                         convert_torch_state_dict,
+                                         init_loftr_params, loftr_forward)
+from bundlesdf_tpu.matcher.pairing import (map_matches_back, mask_roi,
+                                           process_image_pair)
+
+
+def test_forward_shapes_and_static_topk():
+    cfg = LoftrConfig(max_matches=128)
+    params = init_loftr_params(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (96, 96)),
+                      jnp.float32)
+    out = loftr_forward(params, img, img, cfg)
+    assert out["uv0"].shape == (128, 2)
+    assert out["uv1"].shape == (128, 2)
+    assert out["conf"].shape == (128,)
+    assert np.isfinite(np.asarray(out["uv1"])).all()
+
+
+def test_wrapper_contract():
+    cfg = LoftrConfig(max_matches=64, match_thr=0.0001)
+    m = LoftrMatcher(cfg=cfg)
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (96, 96, 3), np.uint8) for _ in range(2)]
+    out = m.predict([imgs[0]], [imgs[1]])
+    assert len(out) == 1
+    assert out[0].ndim == 2 and out[0].shape[1] == 5
+
+
+def _fake_torch_sd(cfg: LoftrConfig):
+    """Build a random torch-layout state_dict with the pretrained ckpt's
+    key names and shapes, to validate the converter mapping."""
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k)) * 0.05
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = np.ones(c)
+        sd[f"{name}.bias"] = np.zeros(c)
+        sd[f"{name}.running_mean"] = np.zeros(c)
+        sd[f"{name}.running_var"] = np.ones(c)
+
+    def block(name, cin, cout, stride):
+        conv(f"{name}.conv1", cin, cout, 3)
+        bn(f"{name}.bn1", cout)
+        conv(f"{name}.conv2", cout, cout, 3)
+        bn(f"{name}.bn2", cout)
+        if stride != 1:
+            conv(f"{name}.downsample.0", cin, cout, 1)
+            bn(f"{name}.downsample.1", cout)
+
+    d0, d1, d2 = cfg.block_dims
+    di = cfg.initial_dim
+    conv("backbone.conv1", 1, di, 7)
+    bn("backbone.bn1", di)
+    block("backbone.layer1.0", di, d0, 1)
+    block("backbone.layer1.1", d0, d0, 1)
+    block("backbone.layer2.0", d0, d1, 2)
+    block("backbone.layer2.1", d1, d1, 1)
+    block("backbone.layer3.0", d1, d2, 2)
+    block("backbone.layer3.1", d2, d2, 1)
+    conv("backbone.layer3_outconv", d2, d2, 1)
+    conv("backbone.layer2_outconv", d1, d2, 1)
+    conv("backbone.layer2_outconv2.0", d2, d2, 3)
+    bn("backbone.layer2_outconv2.1", d2)
+    conv("backbone.layer2_outconv2.3", d2, d1, 3)
+    conv("backbone.layer1_outconv", d0, d1, 1)
+    conv("backbone.layer1_outconv2.0", d1, d1, 3)
+    bn("backbone.layer1_outconv2.1", d1)
+    conv("backbone.layer1_outconv2.3", d1, d0, 3)
+
+    def enc(name, d):
+        for p in ("q_proj", "k_proj", "v_proj", "merge"):
+            sd[f"{name}.{p}.weight"] = rng.standard_normal((d, d)) * 0.02
+        sd[f"{name}.mlp.0.weight"] = rng.standard_normal((2 * d, 2 * d)) * 0.02
+        sd[f"{name}.mlp.2.weight"] = rng.standard_normal((d, 2 * d)) * 0.02
+        for p in ("norm1", "norm2"):
+            sd[f"{name}.{p}.weight"] = np.ones(d)
+            sd[f"{name}.{p}.bias"] = np.zeros(d)
+
+    for i in range(8):
+        enc(f"loftr_coarse.layers.{i}", cfg.d_coarse)
+    for i in range(2):
+        enc(f"loftr_fine.layers.{i}", cfg.d_fine)
+    sd["fine_preprocess.down_proj.weight"] = rng.standard_normal(
+        (cfg.d_fine, cfg.d_coarse)) * 0.02
+    sd["fine_preprocess.down_proj.bias"] = np.zeros(cfg.d_fine)
+    sd["fine_preprocess.merge_feat.weight"] = rng.standard_normal(
+        (cfg.d_fine, 2 * cfg.d_fine)) * 0.02
+    sd["fine_preprocess.merge_feat.bias"] = np.zeros(cfg.d_fine)
+    return sd
+
+
+def test_torch_state_dict_conversion_runs_forward():
+    cfg = LoftrConfig(max_matches=32)
+    sd = _fake_torch_sd(cfg)
+    params = convert_torch_state_dict(sd, cfg)
+    # same tree structure as the native init
+    native = init_loftr_params(jax.random.PRNGKey(0), cfg)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(native))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(native)):
+        assert a.shape == b.shape
+    img = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (96, 96)),
+                      jnp.float32)
+    out = loftr_forward(params, img, img, cfg)
+    assert np.isfinite(np.asarray(out["conf"])).all()
+
+
+def test_pairing_geometry_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+    mask = np.zeros((120, 160), np.uint8)
+    mask[30:90, 40:120] = 1
+    roi = mask_roi(mask)
+    assert tuple(roi) == (40, 119, 30, 89)
+
+    # rotate pose B by 30 deg around camera z
+    ang = np.deg2rad(30)
+    Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    poseA = np.eye(4)
+    poseB = np.eye(4)
+    poseB[:3, :3] = Rz
+    outA, outB, tfA, tfB = process_image_pair(img, img, roi, roi, poseA,
+                                              poseB, out_size=200)
+    assert outA.shape == (200, 200)
+    assert outB.shape == (200, 200)
+    # a crop-space match maps back inside the original image
+    uv = np.array([[100.0, 100.0, 100.0, 100.0, 1.0]])
+    back = map_matches_back(uv, tfA, tfB)
+    assert 0 <= back[0, 0] < 160 and 0 <= back[0, 1] < 120
+    assert 0 <= back[0, 2] < 160 and 0 <= back[0, 3] < 120
+    # tfA maps roiA's top-left+margin-ish region into the crop
+    p = tfA @ np.array([roi[0], roi[2], 1.0])
+    assert abs(p[0] / p[2] - 200 / (89 - 30 + 20 + 1e-9) * 10) < 30
