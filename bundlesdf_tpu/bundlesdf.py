@@ -26,6 +26,8 @@ import yaml
 from bundlesdf_tpu.config import (default_nerf_config, default_track_config,
                                   load_config)
 from bundlesdf_tpu.matcher import OrbMatcher
+from bundlesdf_tpu.matcher.pairing import (map_matches_back, mask_roi,
+                                           process_image_pair)
 from bundlesdf_tpu.nof.runner import NofRunner, preprocess_frame_data
 from bundlesdf_tpu.scene.bounds import (compute_scene_bounds,
                                         compute_scene_bounds_frame,
@@ -81,9 +83,21 @@ class BundleSdf:
                         and b.new_frame is frame_pairs[0][0])
         if not frame_pairs:
             return
-        imgsA = [p[0].color for p in frame_pairs]
-        imgsB = [p[1].color for p in frame_pairs]
+        # canonicalize each pair: rotate B into A's in-plane orientation,
+        # crop ROIs, resize to a shared square (ref getProcessedImagePairs ->
+        # processImagePair FeatureManager.cpp:126-257)
+        out_size = int(self.cfg_track["feature_corres"].get("resize", 400))
+        imgsA, imgsB, tfs = [], [], []
+        for fA, fB in frame_pairs:
+            cropA, cropB, tfA, tfB = process_image_pair(
+                fA.color, fB.color, mask_roi(fA.fg_mask), mask_roi(fB.fg_mask),
+                fA.pose_in_model, fB.pose_in_model, out_size=out_size)
+            imgsA.append(cropA)
+            imgsB.append(cropB)
+            tfs.append((tfA, tfB))
         raw = self.matcher.predict(imgsA, imgsB)
+        raw = [map_matches_back(uv, tfA, tfB)
+               for uv, (tfA, tfB) in zip(raw, tfs)]
 
         min_match_with_ref = self.cfg_track["feature_corres"]["min_match_with_ref"]
         if is_match_ref and len(raw[0]) < min_match_with_ref:
@@ -440,6 +454,22 @@ class BundleSdf:
             mesh.keep_biggest_component()
             mesh.export(os.path.join(out_dir, "mesh_cleaned.obj"))
             _, offset = self.nerf.get_optimized_poses_in_real_world()
+            if get_texture:
+                # bake per-frame colors in normalized space with the NOF's
+                # corrected poses (ref mesh_texture_from_train_images
+                # nerf_runner.py:1468-1542, called bundlesdf.py:763)
+                from bundlesdf_tpu.mesh.texture import bake_texture
+                from bundlesdf_tpu.nof.models import pose_array_matrices
+                import jax.numpy as jnp
+                corr = np.asarray(pose_array_matrices(
+                    self.nerf.params["pose_array"],
+                    jnp.arange(len(self.nerf.poses)),
+                    self.nerf.spec.max_trans, self.nerf.spec.max_rot_deg))
+                tex_mesh = bake_texture(
+                    mesh, rgbs, masks, self.nerf.poses, self.K,
+                    pose_corrections=corr, tex_res=tex_res)
+                self.nerf.mesh_to_real_world(tex_mesh, pose_offset=offset)
+                tex_mesh.export(os.path.join(dd, "textured_mesh.obj"))
             world = self.nerf.mesh_to_real_world(mesh.copy(),
                                                  pose_offset=offset)
             world.export(os.path.join(out_dir, "mesh_real_world.obj"))
