@@ -55,6 +55,11 @@ class BundleSdf:
         self.bundler = Bundler(self.cfg_track, self.matcher)
         self.K = None
         self.cnt = -1
+        self.gui = None
+        if use_gui:
+            from bundlesdf_tpu.gui import BundleSdfGui
+            self.gui = BundleSdfGui(
+                out_dir=os.path.join(self.debug_dir, "gui"))
 
         # NOF side state (replaces the run_nerf child, bundlesdf.py:64-260)
         self.nerf: NofRunner | None = None
@@ -240,6 +245,16 @@ class BundleSdf:
                 self._sync_poses_from_nerf()
 
         self.save_newframe_result(frame)
+        if self.gui is not None:
+            # GUI feed (ref bundlesdf.py:624-632)
+            self.gui.set_nerf_num_frames(self.nerf_num_frames)
+            if self.mesh is not None:
+                self.gui.update_mesh(self.mesh)
+            self.gui.update_frame(
+                rgb=np.asarray(color), mask=mask,
+                ob_in_cam=np.linalg.inv(frame.pose_in_model),
+                id_str=id_str, K=self.K,
+                n_keyframe=len(self.bundler.keyframes))
         return frame
 
     # ------------------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 
 import cv2
 import jax
@@ -354,6 +355,43 @@ class NofRunner:
             self.rcfg, self.lcfg, self.tcfg, n, self.N_iters)
         self.global_step += n
         return jax.tree.map(np.asarray, metrics)
+
+    # -- checkpointing (ref save_weights/load_weights nerf_runner.py:528-576)
+
+    def save_weights(self, out_file):
+        """Serialize model params + optimizer state + step to one npz."""
+        flat, treedef = jax.tree_util.tree_flatten(
+            {"params": self.params, "opt_state": self.opt_state})
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
+        np.savez(out_file,
+                 n_leaves=len(flat),
+                 global_step=self.global_step,
+                 **{f"leaf_{i}": np.asarray(a) for i, a in enumerate(flat)})
+
+    def load_weights(self, ckpt_path):
+        data = np.load(ckpt_path)
+        flat = [jnp.asarray(data[f"leaf_{i}"])
+                for i in range(int(data["n_leaves"]))]
+        _, treedef = jax.tree_util.tree_flatten(
+            {"params": self.params, "opt_state": self.opt_state})
+        restored = jax.tree_util.tree_unflatten(treedef, flat)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(data["global_step"])
+
+    def copy_from(self, other, ignore=()):
+        """Warm-start field weights from another runner
+        (ref copy_from nerf_runner.py:507-525): shared nets copied, the
+        per-frame arrays keep their first len(other) rows."""
+        n_other = other.spec.n_frames
+        for k in ("table", "sigma_net", "color_net"):
+            if k not in ignore:
+                self.params[k] = other.params[k]
+        for k in ("pose_array", "feature_array"):
+            if k in self.params and k in other.params and k not in ignore:
+                self.params[k] = (self.params[k].at[:n_other]
+                                  .set(other.params[k][:n_other]))
+        self.opt_state = make_optimizer().init(self.params)
 
     # -- outputs -----------------------------------------------------------
 

@@ -1,0 +1,94 @@
+"""Aux subsystems: checkpoint/resume, copy_from, profiling timer,
+headless GUI, segmenter stub."""
+import numpy as np
+import jax
+
+from synthetic import cube_orbit_sequence
+
+from bundlesdf_tpu.config import default_nerf_config
+from bundlesdf_tpu.nof.runner import NofRunner, preprocess_frame_data
+from bundlesdf_tpu.utils.common import GLCAM_IN_CVCAM
+from bundlesdf_tpu.utils.profiling import Timer
+
+
+def _tiny_runner(n_frames=3):
+    seq = cube_orbit_sequence(n_frames=n_frames, H=48, W=64)
+    translation = np.zeros(3)
+    sc = 0.9 / 0.6
+    cfg = default_nerf_config()
+    cfg.update(dict(
+        sc_factor=sc, translation=translation.tolist(), n_step=10,
+        N_rand=128, N_samples=8, N_samples_around_depth=8, num_levels=2,
+        finest_res=32, base_res=8, log2_hashmap_size=12, n_trace_steps=32,
+        octree_smallest_voxel_size=2.0 / 32 / sc,
+        octree_dilate_size=2.0 / 32 / sc, frame_features=2))
+    poses_gl = seq["cam_in_obs"] @ GLCAM_IN_CVCAM
+    rgbs, depths, masks, normals, poses = preprocess_frame_data(
+        seq["colors"].copy(), seq["depths"].copy(), seq["masks"].copy(),
+        None, poses_gl.copy(), sc, translation)
+    return NofRunner(cfg, rgbs, depths, masks, normals, poses, seq["K"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    r = _tiny_runner()
+    r.train(n_steps=5)
+    f = str(tmp_path / "model_latest.npz")
+    r.save_weights(f)
+    r2 = _tiny_runner()
+    assert float(np.abs(np.asarray(r2.params["table"])
+                        - np.asarray(r.params["table"])).max()) > 0
+    r2.load_weights(f)
+    for a, b in zip(jax.tree.leaves(r.params), jax.tree.leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert r2.global_step == r.global_step
+    # resumed runner can keep training
+    m = r2.train(n_steps=3)
+    assert np.isfinite(m["loss"]).all()
+
+
+def test_copy_from():
+    r = _tiny_runner(n_frames=2)
+    r.train(n_steps=3)
+    r2 = _tiny_runner(n_frames=3)
+    r2.copy_from(r)
+    np.testing.assert_array_equal(np.asarray(r2.params["table"]),
+                                  np.asarray(r.params["table"]))
+    np.testing.assert_array_equal(
+        np.asarray(r2.params["feature_array"][:2]),
+        np.asarray(r.params["feature_array"][:2]))
+
+
+def test_timer_report():
+    t = Timer()
+    with t.span("alpha"):
+        sum(range(1000))
+    with t.span("alpha"):
+        sum(range(1000))
+    rep = t.report()
+    assert "alpha" in rep and "calls     2" in rep
+
+
+def test_headless_gui(tmp_path):
+    from bundlesdf_tpu.gui import HeadlessGui
+    from bundlesdf_tpu.mesh import Mesh, marching_tetrahedra
+    seq = cube_orbit_sequence(n_frames=1, H=60, W=80)
+    gui = HeadlessGui(str(tmp_path), every_n=1)
+    xs = np.linspace(-0.12, 0.12, 12)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    v, f = marching_tetrahedra(
+        np.maximum.reduce([np.abs(X), np.abs(Y), np.abs(Z)]) - 0.08, 0)
+    gui.update_mesh(Mesh(v * (xs[1] - xs[0]) + xs[0], f))
+    gui.set_nerf_num_frames(3)
+    gui.update_frame(rgb=seq["colors"][0], mask=seq["masks"][0],
+                     ob_in_cam=np.linalg.inv(seq["cam_in_obs"][0]),
+                     id_str="0000", K=seq["K"], n_keyframe=2)
+    assert (tmp_path / "gui_0000.png").exists()
+
+
+def test_segmenter_stub(tmp_path):
+    import cv2
+    from bundlesdf_tpu.utils.segmentation import Segmenter
+    f = str(tmp_path / "m.png")
+    cv2.imwrite(f, np.full((10, 10), 255, np.uint8))
+    mask = Segmenter().run(f)
+    assert mask.shape == (10, 10) and (mask > 0).all()
