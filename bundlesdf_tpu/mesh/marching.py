@@ -80,6 +80,16 @@ def marching_tetrahedra(field: np.ndarray, isolevel: float = 0.0):
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
 
+    # native C++ path (native/src/marching_tet.cpp) when built; winding is
+    # fixed below either way
+    from bundlesdf_tpu.native import marching_tetrahedra_native
+    nat = marching_tetrahedra_native(field, isolevel)
+    if nat is not None:
+        verts, faces = nat
+        if len(faces) == 0:
+            return verts, faces
+        return _fix_winding(field, verts, faces, nx, ny, nz)
+
     # cells whose 8 corners straddle the isolevel
     inside = field < isolevel
     c = inside[:-1, :-1, :-1]
@@ -137,7 +147,12 @@ def marching_tetrahedra(field: np.ndarray, isolevel: float = 0.0):
           & (faces[:, 0] != faces[:, 2]))
     faces = faces[ok]
 
-    # orient: normal should point toward increasing field (outside)
+    return _fix_winding(field, verts, faces, nx, ny, nz)
+
+
+def _fix_winding(field, verts, faces, nx, ny, nz):
+    """Orient triangles so normals point toward increasing field (outward
+    for an SDF)."""
     grad = _grid_gradient(field)
     centers = verts[faces].mean(axis=1)
     ci = np.clip(np.round(centers).astype(np.int64), 0,

@@ -16,7 +16,15 @@ def rasterize(vertices, faces, K, ob_in_cam, H, W, znear=0.001):
     @vertices: (V,3) object-space; @faces: (F,3); @ob_in_cam: (4,4).
     Returns dict: depth (H,W) float32 (0 = background), face_id (H,W) int32
     (-1 = background), bary (H,W,3) float32.
+
+    Dispatches to the native C++ path (native/src/rasterizer.cpp) when
+    built; the numpy body below is the reference/fallback implementation.
     """
+    from bundlesdf_tpu.native import rasterize_native
+    out = rasterize_native(vertices, faces, K, np.asarray(ob_in_cam), H, W,
+                           znear)
+    if out is not None:
+        return out
     vertices = np.asarray(vertices, np.float64)
     faces = np.asarray(faces, np.int64)
     cam_pts = vertices @ ob_in_cam[:3, :3].T + ob_in_cam[:3, 3]
