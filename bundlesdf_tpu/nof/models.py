@@ -113,7 +113,9 @@ def _linear_init(key, n_in, n_out, bias_const=None):
     bound = 1.0 / np.sqrt(n_in)
     W = jax.random.uniform(kw, (n_in, n_out), minval=-bound, maxval=bound)
     if bias_const is not None:
-        b = jnp.full((n_out,), bias_const)
+        # explicit dtype: a weak-typed leaf here changes the jit signature
+        # after the first optimizer step and forces a recompile per call
+        b = jnp.full((n_out,), bias_const, dtype=jnp.float32)
     else:
         b = jax.random.uniform(kb, (n_out,), minval=-bound, maxval=bound)
     return {"w": W, "b": b}

@@ -344,16 +344,30 @@ class NofRunner:
 
     # -- training ----------------------------------------------------------
 
+    # fixed scan length: the XLA compile of the scanned step is expensive
+    # (minutes at full config) and scan programs are length-specific, so
+    # train() always dispatches chunks of SCAN_CHUNK steps — one compile
+    # serves every batch/epoch; a short remainder adds at most one more
+    SCAN_CHUNK = 50
+
     def train(self, n_steps=None):
-        """Run the remaining training steps as one on-device scan
+        """Run the remaining training steps as fixed-length on-device scans
         (ref train nerf_runner.py:855-863). Returns stacked metrics."""
         n = self.N_iters if n_steps is None else n_steps
-        self.key, k = jax.random.split(self.key)
-        self.params, self.opt_state, metrics = train_steps(
-            self.params, self.opt_state, self.rays, self.c2w_array,
-            self.occ_grid, k, jnp.asarray(self.global_step), self.spec,
-            self.rcfg, self.lcfg, self.tcfg, n, self.N_iters)
-        self.global_step += n
+        all_metrics = []
+        remaining = n
+        while remaining > 0:
+            chunk = self.SCAN_CHUNK if remaining >= self.SCAN_CHUNK else remaining
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, metrics = train_steps(
+                self.params, self.opt_state, self.rays, self.c2w_array,
+                self.occ_grid, k,
+                jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
+                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters)
+            self.global_step += chunk
+            remaining -= chunk
+            all_metrics.append(metrics)
+        metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs), *all_metrics)
         return jax.tree.map(np.asarray, metrics)
 
     # -- checkpointing (ref save_weights/load_weights nerf_runner.py:528-576)
