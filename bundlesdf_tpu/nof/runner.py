@@ -19,6 +19,7 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from scipy.spatial import cKDTree
 
 from bundlesdf_tpu.mesh import Mesh, marching_tetrahedra
@@ -369,6 +370,99 @@ class NofRunner:
             all_metrics.append(metrics)
         metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs), *all_metrics)
         return jax.tree.map(np.asarray, metrics)
+
+    # -- feature-match BA in ray space (ref make_key_ray_ids + train_BA
+    # nerf_runner.py:866-976): offline pose refinement that pulls the
+    # depth-lifted world points of matched rays together ------------------
+
+    def match_table_to_ray_pairs(self, matches_table, dilate=5):
+        """Map a {(idA,idB): (N,4) uv matches} table to ray-store index
+        pairs by nearest pixel (ref make_key_ray_ids)."""
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        dirs = np.asarray(self.rays["dirs"])
+        fids = np.asarray(self.rays["frame_id"])
+        # GL dirs -> pixel coords (ref dirs_to_uvs)
+        us = dirs[:, 0] / -dirs[:, 2] * fx + cx
+        vs = -dirs[:, 1] / -dirs[:, 2] * fy + cy
+        uvs = np.stack([us, vs], -1)
+
+        pairs = []
+        for (idA, idB), uv in matches_table.items():
+            if uv is None or len(uv) == 0:
+                continue
+            uv = np.asarray(uv)
+
+            def kpts_to_ray_ids(kpts, fid):
+                sel = np.nonzero(fids == fid)[0]
+                if len(sel) == 0:
+                    return None
+                tree = cKDTree(uvs[sel])
+                _, ind = tree.query(kpts, k=1, workers=-1)
+                return sel[ind]
+
+            ra = kpts_to_ray_ids(uv[:, :2], idA)
+            rb = kpts_to_ray_ids(uv[:, 2:4], idB)
+            if ra is None or rb is None:
+                continue
+            pairs.append(np.stack([ra, rb], -1))
+        if not pairs:
+            return np.zeros((0, 2), np.int64)
+        return np.concatenate(pairs, axis=0)
+
+    def train_ba(self, match_ray_ids, n_steps=200, max_dist=0.02):
+        """Optimize only the pose corrections so matched rays' depth-lifted
+        world points coincide (ref train_BA nerf_runner.py:932-976)."""
+        if len(match_ray_ids) == 0:
+            return None
+        gather = lambda k, col: jnp.asarray(  # noqa: E731
+            np.asarray(self.rays[k])[match_ray_ids[:, col]])
+        data = {s: {"dirs": gather("dirs", i), "depth": gather("depth", i),
+                    "fid": gather("frame_id", i).astype(jnp.int32)}
+                for i, s in enumerate("ab")}
+        thresh = max_dist * self.cfg["sc_factor"]
+        far = self.lcfg.far
+        spec = self.spec
+        c2w = self.c2w_array
+        opt = make_optimizer()
+        pose0 = self.params["pose_array"]
+        ost = opt.init(pose0)
+        lr = self.tcfg.lrate_pose or self.tcfg.lrate
+
+        from bundlesdf_tpu.nof.models import pose_array_matrices
+
+        def pts_world(pose_params, d):
+            tf = pose_array_matrices(pose_params, d["fid"], spec.max_trans,
+                                     spec.max_rot_deg) @ c2w[d["fid"]]
+            pts = d["dirs"] * d["depth"][:, None]
+            return (jnp.einsum("nij,nj->ni", tf[:, :3, :3], pts)
+                    + tf[:, :3, 3])
+
+        valid = (data["a"]["depth"] <= far) & (data["b"]["depth"] <= far)
+
+        @jax.jit
+        def run(pose_params, ost):
+            def step(carry, _):
+                p, s = carry
+
+                def loss_fn(pp):
+                    d = jnp.linalg.norm(pts_world(pp, data["a"])
+                                        - pts_world(pp, data["b"]), axis=-1)
+                    m = valid & (d < thresh)
+                    return jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1)
+
+                l, g = jax.value_and_grad(loss_fn)(p)
+                u, s = opt.update(g, s)
+                p = optax.apply_updates(p, jax.tree.map(lambda x: -lr * x, u))
+                return (p, s), l
+
+            (p, s), losses = jax.lax.scan(step, (pose_params, ost),
+                                          None, length=n_steps)
+            return p, losses
+
+        pose_new, losses = run(pose0, ost)
+        self.params["pose_array"] = pose_new
+        return np.asarray(losses)
 
     # -- checkpointing (ref save_weights/load_weights nerf_runner.py:528-576)
 
