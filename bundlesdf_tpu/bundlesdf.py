@@ -104,6 +104,17 @@ class BundleSdf:
         raw = [map_matches_back(uv, tfA, tfB)
                for uv, (tfA, tfB) in zip(raw, tfs)]
 
+        # map-point propagation augments net matches with multi-frame
+        # tracks (ref findCorresByMapPoints, feature_corres.map_points)
+        use_map_points = self.cfg_track["feature_corres"].get("map_points",
+                                                              False)
+        if use_map_points:
+            raw = [np.concatenate([np.asarray(uv).reshape(-1, uv.shape[1]
+                                                          if len(uv) else 5),
+                                   b.propagate_matches(fA, fB)], axis=0)
+                   if len(b.propagate_matches(fA, fB)) else uv
+                   for (fA, fB), uv in zip(frame_pairs, raw)]
+
         min_match_with_ref = self.cfg_track["feature_corres"]["min_match_with_ref"]
         if is_match_ref and len(raw[0]) < min_match_with_ref:
             b.new_frame.status = FrameStatus.FAIL
@@ -112,6 +123,9 @@ class BundleSdf:
         for (fA, fB), uv in zip(frame_pairs, raw):
             b.raw_matches_to_corres(fA, fB, uv)
         b.run_ransac(frame_pairs)
+        if use_map_points:
+            for fA, fB in frame_pairs:
+                b.update_map_points(fA, fB)
 
     # ------------------------------------------------------------------
     # per-frame pipeline (ref process_new_frame bundlesdf.py:391-506)
@@ -138,6 +152,9 @@ class BundleSdf:
             frame.status = FrameStatus.FAIL
             b.forget_frame(frame)
             return
+
+        if cfg["depth_processing"].get("denoise_cloud", False):
+            frame.point_cloud_denoise()
 
         n_valid = frame.count_valid_points()
         n_valid_first = b.first_frame.count_valid_points()

@@ -50,6 +50,8 @@ class Bundler:
         self.local_frames: list[Frame] = []
         # (idA,idB) -> dict of match arrays; idA > idB always
         self.matches: dict[tuple[int, int], dict] = {}
+        # frame_id -> {(u,v) -> map point track {frame_id: (u,v)}}
+        self._map_points: dict[int, dict] = {}
         self._rng = np.random.default_rng(0)
         self._key = jax.random.PRNGKey(0)
 
@@ -100,6 +102,43 @@ class Bundler:
     def n_matches(self, fA: Frame, fB: Frame) -> int:
         m = self.matches.get((fA.id, fB.id))
         return 0 if m is None else len(m["conf"])
+
+    # ------------------------------------------------------------------
+    # map points: persistent multi-frame feature tracks
+    # (ref updateFramePairMapPoints FeatureManager.cpp:854-891 and
+    # findCorresByMapPoints :939-970; enabled by feature_corres.map_points)
+    # ------------------------------------------------------------------
+    def update_map_points(self, fA: Frame, fB: Frame):
+        """Merge the (post-RANSAC) inlier matches of a pair into map-point
+        tracks. A map point is a dict {frame_id: (u,v)} shared via each
+        frame's `map_points` registry."""
+        m = self.matches.get((fA.id, fB.id))
+        if m is None or len(m["conf"]) == 0:
+            return
+        regA = self._map_points.setdefault(fA.id, {})
+        regB = self._map_points.setdefault(fB.id, {})
+        for (uA, vA), (uB, vB) in zip(map(tuple, m["uvA"]),
+                                      map(tuple, m["uvB"])):
+            if (uA, vA) in regA and (uB, vB) in regB:
+                continue
+            mpt = regB.get((uB, vB))
+            if mpt is None:
+                mpt = {fB.id: (uB, vB)}
+                regB[(uB, vB)] = mpt
+            mpt[fA.id] = (uA, vA)
+            regA[(uA, vA)] = mpt
+
+    def propagate_matches(self, fA: Frame, fB: Frame):
+        """uv matches implied by shared map points (marked propagated in
+        the reference; used to seed/augment pair matching). Returns
+        (P,5) [uA,vA,uB,vB,conf] or empty."""
+        regA = self._map_points.get(fA.id, {})
+        rows = []
+        for (uA, vA), mpt in regA.items():
+            if fB.id in mpt:
+                uB, vB = mpt[fB.id]
+                rows.append([uA, vA, uB, vB, 1.0])
+        return np.asarray(rows, np.float32).reshape(-1, 5)
 
     # ------------------------------------------------------------------
     # RANSAC filtering (ref runRansacMultiPairGPU FeatureManager.cpp:1587)
@@ -250,6 +289,10 @@ class Bundler:
             self.keyframes.remove(frame)
         for key in [k for k in self.matches if frame.id in k]:
             del self.matches[key]
+        # purge map-point observations (ref SiftManager::forgetFrame
+        # FeatureManager.cpp:467-511)
+        for mpt in self._map_points.pop(frame.id, {}).values():
+            mpt.pop(frame.id, None)
         return True
 
     # ------------------------------------------------------------------

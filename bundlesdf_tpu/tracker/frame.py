@@ -83,6 +83,31 @@ class Frame:
         center = (pts.max(axis=0) + pts.min(axis=0)) / 2.0
         self.pose_in_model[:3, 3] = -center
 
+    # -- ref Frame.cpp:337-384 ----------------------------------------------
+    def point_cloud_denoise(self):
+        """Voxel-downsample + z-passfilter + statistical outlier removal on
+        the frame cloud, then invalidate pixels whose point is >5mm from the
+        cleaned cloud (depth_processing.denoise_cloud path)."""
+        from bundlesdf_tpu.scene.bounds import voxel_downsample
+        dp = self.cfg["depth_processing"]
+        valid = (self.depth > 0.1) & (self.fg_mask > 0)
+        pts = self.xyz_map[valid]
+        if len(pts) < 10:
+            return
+        down = voxel_downsample(pts, 0.005)
+        down = down[(down[:, 2] >= 0.1) & (down[:, 2] <= dp["zfar"])]
+        down = statistical_outlier_removal(
+            down, n_neighbors=int(dp["outlier_removal"]["num"]),
+            std_mul=dp["outlier_removal"]["std_mul"])
+        if len(down) == 0:
+            return
+        tree = cKDTree(down)
+        d, _ = tree.query(pts, k=1, workers=-1)
+        bad = d > 0.005
+        vs, us = np.nonzero(valid)
+        self.fg_mask[vs[bad], us[bad]] = 0
+        self.invalidate_pixels_by_mask(self.fg_mask)
+
     def invalidate_pixels_by_mask(self, mask):
         """Ref Frame.cpp:432-451 — zero depth/normals outside the mask."""
         keep = np.asarray(mask) > 0
