@@ -179,7 +179,7 @@ class BundleSdf:
         # re-localize against the keyframe pool by covisibility if the ref
         # match failed (ref bundlesdf.py:443-471)
         if b.n_matches(frame, ref_frame) < min_match_with_ref:
-            visibles = [b.covisibility(frame, kf) for kf in b.keyframes]
+            visibles = b.covisibility_many(frame, b.keyframes)
             found = False
             for idx in np.argsort(visibles)[::-1]:
                 kf = b.keyframes[idx]

@@ -37,6 +37,11 @@ class BAConfig:
     dense_depth_min: float = 0.1
     dense_depth_max: float = 9999.0
     assoc_radius: int = 5               # bundle.depth_association_radius
+    # narrower re-association window after the first GN iteration: poses are
+    # already near-aligned, and association gathers are the BA's dominant
+    # cost on TPU (row-count bound)
+    assoc_radius_refine: int = 2
+    n_dense_pts: int = 4096             # valid src points per frame (padded)
     robust_delta: float = 0.005
     w_sparse: float = 1.0               # bundle.w_fm
     w_dense: float = 1.0                # bundle.w_p2p
@@ -49,10 +54,14 @@ def _pose_update(poses, delta, flags):
     return se3_exp(delta) @ poses
 
 
-def _dense_associate(poses, xyz, nrm, K, pair_ij, cfg: BAConfig):
+def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
+                     cfg: BAConfig, radius: int):
     """Windowed projective nearest-neighbor association for every ordered
     frame pair. @xyz,@nrm: (N,h,w,3) downsampled maps. @pair_ij: (P,2) int.
-    Returns per (pair, pixel): tgt point/normal in tgt cam, src point in src
+    @src_idx/@src_valid: (N,D) flat pixel indices of valid object points per
+    frame (padded) — association runs on these D points only, not the full
+    grid (TPU gathers are row-count bound).
+    Returns per (pair, point): tgt point/normal in tgt cam, src point in src
     cam, found flag, huber weight — all with stop_gradient semantics (the
     association is fixed during the linearized solve)."""
     N, h, w, _ = xyz.shape
@@ -63,9 +72,9 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, cfg: BAConfig):
     def per_pair(ij):
         i, j = ij[0], ij[1]
         T = jnp.linalg.inv(poses[i]) @ poses[j]  # src(j) cam -> tgt(i) cam
-        src_p = xyz[j].reshape(-1, 3)
-        src_n = nrm[j].reshape(-1, 3)
-        src_ok = (src_p[:, 2] > cfg.dense_depth_min) \
+        src_p = xyz[j].reshape(-1, 3)[src_idx[j]]
+        src_n = nrm[j].reshape(-1, 3)[src_idx[j]]
+        src_ok = src_valid[j] & (src_p[:, 2] > cfg.dense_depth_min) \
             & (src_p[:, 2] < cfg.dense_depth_max) \
             & (jnp.abs(src_n[:, 0]) > 0)
         p_tgt = src_p @ T[:3, :3].T + T[:3, 3]
@@ -77,7 +86,7 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, cfg: BAConfig):
 
         tgt_xyz = xyz[i]
         tgt_nrm = nrm[i]
-        r = cfg.assoc_radius
+        r = radius
         offs = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
                                       jnp.arange(-r, r + 1),
                                       indexing="ij"), -1).reshape(-1, 2)
@@ -123,7 +132,8 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, cfg: BAConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                   corr_i, corr_j, corr_pi, corr_pj, corr_valid,
-                  update_flags, cfg: BAConfig = BAConfig()):
+                  update_flags, src_idx, src_valid,
+                  cfg: BAConfig = BAConfig()):
     """Jointly refine frame poses.
 
     @poses0: (N,4,4) cam-in-model. @K_down: (3,3) intrinsics of the
@@ -132,14 +142,15 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     term. Sparse correspondences (padded): @corr_i/@corr_j (C,) frame
     indices; @corr_pi/@corr_pj (C,3) points in the respective CAMERA frames;
     @corr_valid (C,). @update_flags: (N,) 1=optimize, 0=pinned.
+    @src_idx/@src_valid: (N,D) per-frame valid-point pixel indices.
     Returns refined (N,4,4) poses.
     """
     N = poses0.shape[0]
     flags = update_flags.astype(jnp.float32)
 
-    def outer(it, poses):
+    def outer(poses, radius: int):
         assoc = _dense_associate(poses, xyz_down, nrm_down, K_down, pair_ij,
-                                 cfg)
+                                 src_idx, src_valid, cfg, radius)
 
         def residuals(delta):
             T = _pose_update(poses, delta, flags)  # (N,4,4)
@@ -178,7 +189,12 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
         delta = -jnp.linalg.solve(JtJ, Jtr)
         return _pose_update(poses, delta, flags)
 
-    poses = jax.lax.fori_loop(0, cfg.n_outer, outer, poses0)
+    # wide association window only on the first iteration (poses may be far
+    # off); refined narrow window afterwards
+    poses = outer(poses0, cfg.assoc_radius)
+    poses = jax.lax.fori_loop(
+        1, cfg.n_outer,
+        lambda it, p: outer(p, cfg.assoc_radius_refine), poses)
     return poses
 
 

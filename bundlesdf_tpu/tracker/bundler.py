@@ -9,13 +9,12 @@ batched jitted kernels.
 """
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from bundlesdf_tpu.ops.preprocess import compute_covisibility
 from bundlesdf_tpu.tracker.ba import BAConfig, bundle_adjust, downsample_maps
 from bundlesdf_tpu.tracker.frame import Frame, FrameStatus
 from bundlesdf_tpu.tracker.ransac import ransac_pose
@@ -34,11 +33,58 @@ def _round_up(n, base=256):
     return max(base, -(-n // base) * base)
 
 
+@jax.jit
+def _lift_uv(xyz, nrm, uv, valid):
+    """Gather 3D points/normals for pixel matches on device (replaces the
+    host-side map reads; map pulls over the TPU tunnel cost seconds)."""
+    u = uv[:, 0]
+    v = uv[:, 1]
+    p = xyz[v, u]
+    n = nrm[v, u]
+    ok = valid & (p[:, 2] > 0.1)
+    return p, n, ok
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _kabsch_masked(src, dst, w):
+    return kabsch(src, dst, weights=w)
+
+
+@jax.jit
+def _covis_many(xyz, nrm, valid, A_in_Bs, thres_cos):
+    """Covisibility of one frame against many keyframe transforms in one
+    dispatch (ref Frame.h:122-165). @A_in_Bs: (K,4,4)."""
+    pts = xyz[::2, ::2].reshape(-1, 3)
+    nr = nrm[::2, ::2].reshape(-1, 3)
+    ok = valid[::2, ::2].reshape(-1) & (jnp.linalg.norm(nr, axis=-1) > 1e-6)
+
+    def one(T):
+        p = pts @ T[:3, :3].T + T[:3, 3]
+        n = nr @ T[:3, :3].T
+        p_hat = -p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True),
+                                 1e-12)
+        n_hat = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                                1e-12)
+        dot = jnp.sum(p_hat * n_hat, axis=-1)
+        vis = jnp.sum((dot > thres_cos) & ok)
+        return vis.astype(jnp.float32) / (jnp.sum(ok).astype(jnp.float32)
+                                          + 1e-7)
+
+    return jax.vmap(one)(A_in_Bs)
+
+
 class Bundler:
     """@cfg: tracker config dict (schema of config_ho3d.yml).
     @matcher: object with predict(imgA_batch, imgB_batch) -> list of (N,5)
     [uA,vA,uB,vB,conf] arrays (the LoFTR-wrapper contract,
     loftr_wrapper.py:28-82)."""
+
+    # fixed device-kernel shapes: every new (pairs, matches) size bucket
+    # costs a full XLA recompile (tens of seconds through the tunnel), so
+    # matches are capped/padded to MATCH_CAP and RANSAC runs in fixed
+    # PAIR_CHUNK batches — each kernel compiles exactly once per run
+    MATCH_CAP = 1024
+    PAIR_CHUNK = 8
 
     def __init__(self, cfg, matcher=None):
         self.cfg = cfg
@@ -59,12 +105,23 @@ class Bundler:
     # covisibility (ref Frame.h:122-165 via ops kernel)
     # ------------------------------------------------------------------
     def covisibility(self, fA: Frame, fB: Frame) -> float:
-        A_in_B = np.linalg.inv(fB.pose_in_model) @ fA.pose_in_model
-        valid = jnp.asarray((fA.depth > 0.1) & (fA.fg_mask > 0))
-        return float(compute_covisibility(
-            fA.xyz_dev, fA.normal_dev, valid,
-            jnp.asarray(A_in_B, jnp.float32),
-            visible_angle_deg=self.cfg["visible_angle"]))
+        return self.covisibility_many(fA, [fB])[0]
+
+    def covisibility_many(self, fA: Frame, fBs: list) -> np.ndarray:
+        """Covisibility of fA against many frames in ONE device dispatch
+        (per-call tunnel latency dominates otherwise). The transform batch
+        is padded to a multiple of 8 so the kernel compiles once per
+        bucket, not per keyframe count."""
+        K = -(-max(len(fBs), 1) // 8) * 8
+        Ts = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        for i, fB in enumerate(fBs):
+            Ts[i] = (np.linalg.inv(fB.pose_in_model)
+                     @ fA.pose_in_model).astype(np.float32)
+        valid = (fA.depth_dev > 0.1) & (jnp.asarray(fA.fg_mask) > 0)
+        thres = float(np.cos(np.deg2rad(self.cfg["visible_angle"])))
+        out = np.asarray(_covis_many(fA.xyz_dev, fA.normal_dev, valid,
+                                     jnp.asarray(Ts), thres))
+        return out[:len(fBs)]
 
     # ------------------------------------------------------------------
     # correspondence construction (ref rawMatchesToCorres + makeCorrespondence
@@ -72,31 +129,49 @@ class Bundler:
     # ------------------------------------------------------------------
     def raw_matches_to_corres(self, fA: Frame, fB: Frame, uv):
         """@uv: (N,>=4) [uA,vA,uB,vB(,conf)] full-resolution pixel matches.
-        Lifts to 3D with validity gating; stores the match table."""
+        Lifts to 3D with validity gating (device gather; only the small
+        match arrays cross to host); stores the match table."""
         key = (fA.id, fB.id)
         if uv is None or len(uv) == 0:
             self.matches[key] = None
             return
         uv = np.asarray(uv)
-        uA = np.round(uv[:, 0]).astype(int)
-        vA = np.round(uv[:, 1]).astype(int)
-        uB = np.round(uv[:, 2]).astype(int)
-        vB = np.round(uv[:, 3]).astype(int)
-        conf = uv[:, 4] if uv.shape[1] > 4 else np.ones(len(uv))
+        uA = np.round(uv[:, 0]).astype(np.int32)
+        vA = np.round(uv[:, 1]).astype(np.int32)
+        uB = np.round(uv[:, 2]).astype(np.int32)
+        vB = np.round(uv[:, 3]).astype(np.int32)
+        conf = (uv[:, 4] if uv.shape[1] > 4
+                else np.ones(len(uv))).astype(np.float32)
         inb = ((uA >= 0) & (uA < fA.W) & (vA >= 0) & (vA < fA.H)
                & (uB >= 0) & (uB < fB.W) & (vB >= 0) & (vB < fB.H))
-        uA, vA, uB, vB, conf = uA[inb], vA[inb], uB[inb], vB[inb], conf[inb]
-        pA = fA.xyz_map[vA, uA]
-        pB = fB.xyz_map[vB, uB]
-        nA = fA.normal_map[vA, uA]
-        nB = fB.normal_map[vB, uB]
-        ok = (pA[:, 2] > 0.1) & (pB[:, 2] > 0.1)
+        if len(uv) > self.MATCH_CAP:  # keep the most confident
+            order = np.argsort(-conf)[:self.MATCH_CAP]
+            uv = uv[order]
+            uA, vA, uB, vB = uA[order], vA[order], uB[order], vB[order]
+            conf, inb = conf[order], inb[order]
+        M = self.MATCH_CAP
+        uvA_p = _pad_to(np.stack([uA, vA], -1), M).astype(np.int32)
+        uvB_p = _pad_to(np.stack([uB, vB], -1), M).astype(np.int32)
+        valid_p = jnp.asarray(_pad_to(inb, M, False))
+        pA, nA, okA = _lift_uv(fA.xyz_dev, fA.normal_dev,
+                               jnp.asarray(np.clip(uvA_p, 0,
+                                                   [fA.W - 1, fA.H - 1])),
+                               valid_p)
+        pB, nB, okB = _lift_uv(fB.xyz_dev, fB.normal_dev,
+                               jnp.asarray(np.clip(uvB_p, 0,
+                                                   [fB.W - 1, fB.H - 1])),
+                               valid_p)
+        ok = np.asarray(okA & okB)
+        pA = np.asarray(pA)[ok]
+        pB = np.asarray(pB)[ok]
+        nA = np.asarray(nA)[ok]
+        nB = np.asarray(nB)[ok]
+        keep = ok[:len(uv)]
         self.matches[key] = {
-            "uvA": np.stack([uA[ok], vA[ok]], -1),
-            "uvB": np.stack([uB[ok], vB[ok]], -1),
-            "pA_cam": pA[ok], "pB_cam": pB[ok],
-            "nA_cam": nA[ok], "nB_cam": nB[ok],
-            "conf": conf[ok].astype(np.float32),
+            "uvA": np.stack([uA, vA], -1)[keep],
+            "uvB": np.stack([uB, vB], -1)[keep],
+            "pA_cam": pA, "pB_cam": pB, "nA_cam": nA, "nB_cam": nB,
+            "conf": conf[keep],
         }
 
     def n_matches(self, fA: Frame, fB: Frame) -> int:
@@ -145,42 +220,59 @@ class Bundler:
     # ------------------------------------------------------------------
     def run_ransac(self, pairs):
         cfg = self.cfg["ransac"]
-        for fA, fB in pairs:
-            m = self.matches.get((fA.id, fB.id))
-            if m is None or len(m["conf"]) == 0:
-                continue
-            # model-frame points under current poses
-            TA = fA.pose_in_model
-            TB = fB.pose_in_model
-            pA_w = m["pA_cam"] @ TA[:3, :3].T + TA[:3, 3]
-            pB_w = m["pB_cam"] @ TB[:3, :3].T + TB[:3, 3]
-            nA_w = m["nA_cam"] @ TA[:3, :3].T
-            nB_w = m["nB_cam"] @ TB[:3, :3].T
-
-            neighbor = (fA.ref_frame_id == fB.id and fA.id == fB.id + 1)
-            if neighbor:
-                max_trans = cfg["max_trans_neighbor"]
-                max_rot = np.deg2rad(cfg["max_rot_deg_neighbor"])
+        live = [(fA, fB, self.matches[(fA.id, fB.id)]) for fA, fB in pairs
+                if self.matches.get((fA.id, fB.id)) is not None
+                and len(self.matches[(fA.id, fB.id)]["conf"]) > 0]
+        if not live:
+            return
+        # all pairs share one padded batch -> ONE device dispatch per fixed
+        # PAIR_CHUNK (per-pair calls pay the tunnel latency each); fixed
+        # (PAIR_CHUNK, MATCH_CAP) shapes compile exactly once
+        M = self.MATCH_CAP
+        P = -(-len(live) // self.PAIR_CHUNK) * self.PAIR_CHUNK
+        pA = np.zeros((P, M, 3), np.float32)
+        pB = np.zeros((P, M, 3), np.float32)
+        nA = np.zeros((P, M, 3), np.float32)
+        nB = np.zeros((P, M, 3), np.float32)
+        conf = np.zeros((P, M), np.float32)
+        valid = np.zeros((P, M), bool)
+        caps = np.zeros((P, 2), np.float32)
+        for i, (fA, fB, m) in enumerate(live):
+            TA, TB = fA.pose_in_model, fB.pose_in_model
+            n = len(m["conf"])
+            pA[i, :n] = m["pA_cam"] @ TA[:3, :3].T + TA[:3, 3]
+            pB[i, :n] = m["pB_cam"] @ TB[:3, :3].T + TB[:3, 3]
+            nA[i, :n] = m["nA_cam"] @ TA[:3, :3].T
+            nB[i, :n] = m["nB_cam"] @ TB[:3, :3].T
+            conf[i, :n] = m["conf"]
+            valid[i, :n] = True
+            if fA.ref_frame_id == fB.id and fA.id == fB.id + 1:
+                caps[i] = (cfg["max_trans_neighbor"],
+                           np.deg2rad(cfg["max_rot_deg_neighbor"]))
             elif fA.ref_frame_id != fB.id:
-                max_trans = cfg["max_trans_no_neighbor"]
-                max_rot = np.deg2rad(cfg["max_rot_no_neighbor"])
+                caps[i] = (cfg["max_trans_no_neighbor"],
+                           np.deg2rad(cfg["max_rot_no_neighbor"]))
             else:
-                max_trans, max_rot = np.inf, np.inf
+                caps[i] = (np.inf, np.inf)
 
-            M = _round_up(len(m["conf"]))
-            valid = _pad_to(np.ones(len(m["conf"]), bool), M, False)
-            self._key, k = jax.random.split(self._key)
-            out = ransac_pose(
-                k, jnp.asarray(_pad_to(pA_w, M), jnp.float32),
-                jnp.asarray(_pad_to(pB_w, M), jnp.float32),
-                jnp.asarray(_pad_to(nA_w, M), jnp.float32),
-                jnp.asarray(_pad_to(nB_w, M), jnp.float32),
-                jnp.asarray(_pad_to(m["conf"], M), jnp.float32),
-                jnp.asarray(valid),
-                cfg["inlier_dist"],
-                float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
-                max_trans, max_rot, n_trials=cfg["max_iter"])
-            inlier = np.asarray(out["inlier_mask"])[:len(m["conf"])]
+        self._key, k = jax.random.split(self._key)
+        keys = np.asarray(jax.random.split(k, P))
+        fn = functools.partial(ransac_pose, n_trials=int(cfg["max_iter"]))
+        vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, 0, 0))
+        chunks = []
+        for s in range(0, P, self.PAIR_CHUNK):
+            e = s + self.PAIR_CHUNK
+            out = vfn(jnp.asarray(keys[s:e]), jnp.asarray(pA[s:e]),
+                      jnp.asarray(pB[s:e]), jnp.asarray(nA[s:e]),
+                      jnp.asarray(nB[s:e]), jnp.asarray(conf[s:e]),
+                      jnp.asarray(valid[s:e]), cfg["inlier_dist"],
+                      float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
+                      jnp.asarray(caps[s:e, 0]), jnp.asarray(caps[s:e, 1]))
+            chunks.append(np.asarray(out["inlier_mask"]))
+        inlier_all = np.concatenate(chunks, axis=0)
+
+        for i, (fA, fB, m) in enumerate(live):
+            inlier = inlier_all[i, :len(m["conf"])]
             if inlier.sum() < cfg["min_match_after_ransac"]:
                 logging.info(f"ransac {fA.id_str}-{fB.id_str}: "
                              f"{int(inlier.sum())} inliers, cleared")
@@ -201,10 +293,13 @@ class Bundler:
         TB = fB.pose_in_model
         src = m["pA_cam"] @ TA[:3, :3].T + TA[:3, 3]
         dst = m["pB_cam"] @ TB[:3, :3].T + TB[:3, 3]
-        T = np.asarray(kabsch(jnp.asarray(src, jnp.float32),
-                              jnp.asarray(dst, jnp.float32)), np.float64)
-        err = np.linalg.norm(src @ T[:3, :3].T + T[:3, 3] - dst) / len(src)
-        logging.debug(f"procrustes {fA.id_str}-{fB.id_str} err/pt {err:.2e}")
+        # pad to the shared cap so the jitted solve compiles once
+        M = self.MATCH_CAP
+        w = _pad_to(np.ones(len(src), np.float32), M)
+        T = np.asarray(_kabsch_masked(
+            jnp.asarray(_pad_to(src, M), jnp.float32),
+            jnp.asarray(_pad_to(dst, M), jnp.float32),
+            jnp.asarray(w)), np.float64)
         return T
 
     # ------------------------------------------------------------------
@@ -228,9 +323,9 @@ class Bundler:
                 jnp.asarray(kf.pose_in_model[:3, :3].T)))
             if rot_diff < min_rot:
                 return False
-        for kf in self.keyframes:
-            if self.covisibility(frame, kf) > kf_cfg["min_visible"]:
-                return False
+        vis = self.covisibility_many(frame, self.keyframes)
+        if (vis > kf_cfg["min_visible"]).any():
+            return False
         self.keyframes.append(frame)
         logging.info(f"added keyframe {frame.id_str}, "
                      f"#keyframes={len(self.keyframes)}")
@@ -246,9 +341,10 @@ class Bundler:
         if len(self.keyframes) + 1 <= max_ba:
             frames += [kf for kf in self.keyframes if kf is not self.new_frame]
         else:
-            vis = [(self.covisibility(self.new_frame, kf), kf)
-                   for kf in self.keyframes]
-            vis.sort(key=lambda x: -x[0])
+            scores = self.covisibility_many(self.new_frame, self.keyframes)
+            vis = sorted(zip(scores, range(len(self.keyframes))),
+                         key=lambda x: -x[0])
+            vis = [(s, self.keyframes[i]) for s, i in vis]
             for _, kf in vis:
                 if kf is self.new_frame:
                     continue
@@ -262,8 +358,8 @@ class Bundler:
     # match-pair gating (ref getFeatureMatchPairs Bundler.cpp:781-807)
     # ------------------------------------------------------------------
     def get_feature_match_pairs(self, frames):
-        pairs = []
         min_vis = self.cfg["bundle"]["non_neighbor_min_visible"]
+        cands = []
         for i in range(len(frames)):
             for j in range(i + 1, len(frames)):
                 fA, fB = frames[j], frames[i]
@@ -271,11 +367,19 @@ class Bundler:
                     continue
                 if np.allclose(fA.pose_in_model, np.eye(4)):
                     continue
-                vis = self.covisibility(fA, fB)
-                if vis < min_vis:
+                cands.append((fA, fB))
+        pairs = []
+        # batch the covisibility gate per source frame (one dispatch each)
+        by_fA: dict[int, list] = {}
+        for fA, fB in cands:
+            by_fA.setdefault(fA.id, (fA, []))[1].append(fB)
+        for fA, fBs in by_fA.values():
+            vis = self.covisibility_many(fA, fBs)
+            for fB, v in zip(fBs, vis):
+                if v < min_vis:
                     self.matches[(fA.id, fB.id)] = None
-                    continue
-                pairs.append((fA, fB))
+                else:
+                    pairs.append((fA, fB))
         return pairs
 
     # ------------------------------------------------------------------
@@ -359,13 +463,27 @@ class Bundler:
             robust_delta=bcfg["robust_delta"],
             w_sparse=bcfg["w_fm"], w_dense=bcfg["w_p2p"])
 
+        # per-frame valid-object-point indices in the downsampled grid: the
+        # dense term runs on these D points, not all h*w pixels
+        D = cfg_ba.n_dense_pts
+        hd, wd = frames[0].fg_mask[::factor, ::factor].shape
+        src_idx = np.zeros((N_pad, D), np.int32)
+        src_valid = np.zeros((N_pad, D), bool)
+        for k, f in enumerate(frames):
+            flat = np.nonzero((f.fg_mask[::factor, ::factor] > 0).reshape(-1))[0]
+            if len(flat) > D:  # uniform subsample to the budget
+                flat = flat[np.linspace(0, len(flat) - 1, D).astype(int)]
+            src_idx[k, :len(flat)] = flat
+            src_valid[k, :len(flat)] = True
+
         poses0 = np.stack([f.pose_in_model for f in frames]
                           + [np.eye(4)] * (N_pad - N)).astype(np.float32)
         poses = np.asarray(bundle_adjust(
             jnp.asarray(poses0), K_d, xyz_d, nrm_d, jnp.asarray(pair_ij),
             jnp.asarray(corr_i_a), jnp.asarray(corr_j_a),
             jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
-            jnp.asarray(valid), jnp.asarray(update_flags), cfg_ba))
+            jnp.asarray(valid), jnp.asarray(update_flags),
+            jnp.asarray(src_idx), jnp.asarray(src_valid), cfg_ba))
 
         # abnormal-pose-change rejection vs temporal neighbor
         # (ref Bundler.cpp:927-946)

@@ -58,18 +58,43 @@ class Frame:
             sigma_r=dp["bilateral_filter"]["sigma_R"],
             zfar=dp["zfar"],
             edge_angle_thres_rad=dp["edge_normal_thres"] * math.pi / 180.0)
-        # device copies feed covisibility/BA kernels; host copies feed the
-        # match store and cheap logic
+        # maps stay DEVICE-RESIDENT: with the TPU behind a tunnel, pulling
+        # the 26MB of per-frame maps to host costs seconds; host copies are
+        # lazy properties used only by offline paths (artifact dumps,
+        # denoising, texture bake)
         self.depth_dev = d
         self.xyz_dev = xyz
         self.normal_dev = nrm
-        self.depth = np.asarray(d)
-        self.xyz_map = np.asarray(xyz)
-        self.normal_map = np.asarray(nrm)
+        self._depth_host = None
+        self._xyz_host = None
+        self._normal_host = None
+        self._n_valid = None
+
+    # -- lazy host views -----------------------------------------------------
+    @property
+    def depth(self):
+        if self._depth_host is None:
+            self._depth_host = np.asarray(self.depth_dev)
+        return self._depth_host
+
+    @property
+    def xyz_map(self):
+        if self._xyz_host is None:
+            self._xyz_host = np.asarray(self.xyz_dev)
+        return self._xyz_host
+
+    @property
+    def normal_map(self):
+        if self._normal_host is None:
+            self._normal_host = np.asarray(self.normal_dev)
+        return self._normal_host
 
     # -- ref Frame.cpp:453-464 ---------------------------------------------
     def count_valid_points(self) -> int:
-        return int(((self.depth > 0.1) & (self.fg_mask > 0)).sum())
+        if self._n_valid is None:
+            self._n_valid = int(jnp.sum((self.depth_dev > 0.1)
+                                        & (jnp.asarray(self.fg_mask) > 0)))
+        return self._n_valid
 
     # -- ref Frame.cpp:147-170 ---------------------------------------------
     def set_new_init_coordinate(self):
@@ -109,14 +134,16 @@ class Frame:
         self.invalidate_pixels_by_mask(self.fg_mask)
 
     def invalidate_pixels_by_mask(self, mask):
-        """Ref Frame.cpp:432-451 — zero depth/normals outside the mask."""
-        keep = np.asarray(mask) > 0
-        self.depth = np.where(keep, self.depth, 0.0)
-        self.normal_map = np.where(keep[..., None], self.normal_map, 0.0)
-        self.xyz_map = np.where(keep[..., None], self.xyz_map, 0.0)
-        self.depth_dev = jnp.asarray(self.depth)
-        self.xyz_dev = jnp.asarray(self.xyz_map)
-        self.normal_dev = jnp.asarray(self.normal_map)
+        """Ref Frame.cpp:432-451 — zero depth/normals outside the mask.
+        Runs on device; host views are invalidated."""
+        keep = jnp.asarray(np.asarray(mask) > 0)
+        self.depth_dev = jnp.where(keep, self.depth_dev, 0.0)
+        self.xyz_dev = jnp.where(keep[..., None], self.xyz_dev, 0.0)
+        self.normal_dev = jnp.where(keep[..., None], self.normal_dev, 0.0)
+        self._depth_host = None
+        self._xyz_host = None
+        self._normal_host = None
+        self._n_valid = None
 
     def __repr__(self):
         return f"Frame({self.id_str}, status={self.status.name})"
