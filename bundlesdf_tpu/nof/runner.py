@@ -130,10 +130,12 @@ class NofRunner:
         sc = cfg["sc_factor"]
         self.occ_grid = self._build_occupancy()
 
+        n_samples_total = cfg["N_samples"] + cfg["N_samples_around_depth"]
         grid = HashGridSpec(
             n_levels=cfg["num_levels"], level_dim=cfg["feature_grid_dim"],
             base_res=cfg["base_res"], finest_res=cfg["finest_res"],
-            log2_hashmap_size=cfg["log2_hashmap_size"])
+            log2_hashmap_size=cfg["log2_hashmap_size"],
+            ray_samples=n_samples_total)
         self.spec = NofSpec(
             grid=grid, sh_degree=cfg["multires_views"],
             frame_features=cfg["frame_features"], n_frames=len(self.images),

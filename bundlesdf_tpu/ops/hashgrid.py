@@ -35,6 +35,15 @@ class HashGridSpec:
     base_res: int = 16
     finest_res: int = 128
     log2_hashmap_size: int = 22
+    # > 0 enables the ray-coherent dedup backward: points are treated as
+    # (n_rays, ray_samples) with samples zeta-ordered per ray, and the
+    # table-gradient scatter runs on per-ray voxel RUNS instead of per
+    # sample (XLA TPU scatter-add is row-count bound at ~100ns/row; along a
+    # ray, consecutive samples repeatedly hit the same voxel, massively so
+    # at coarse levels). Capped at `dedup_max_runs(res)` runs per ray per
+    # level — overflow runs (beyond the cap, rare with sane sampling) are
+    # dropped from the gradient.
+    ray_samples: int = 0
 
     @property
     def table_size(self) -> int:
@@ -64,6 +73,76 @@ def init_hashgrid_params(key, spec: HashGridSpec, dtype=jnp.float32):
 
 # the 8 unit-cube corner offsets, fixed order
 _CORNERS = np.array([[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)], np.int32)
+
+
+def dedup_max_runs(res: int, ray_samples: int) -> int:
+    """Per-ray voxel-run budget for a dense level: a ray's samples span at
+    most a few times the level resolution in voxels; generous cap, multiple
+    of 8."""
+    k = min(ray_samples, max(8, int(res)))
+    return -(-k // 8) * 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ray_dedup_gather(packed_all, idx, ray_samples: int, k_runs: tuple):
+    """Gather packed corner rows with a run-dedup backward.
+
+    @packed_all: (Trows, 8C); @idx: (N, Ld) absolute row ids (level offsets
+    folded in). Forward == packed_all[idx]. Backward scatters ONE row per
+    (ray, voxel-run, level) instead of one per sample: along a z-ordered
+    ray, consecutive samples falling in the same voxel form a run whose
+    update total comes from a cumsum difference — pure dense math; only the
+    run totals hit the (row-count-bound) scatter.
+    """
+    return packed_all[idx]
+
+
+def _ray_dedup_gather_fwd(packed_all, idx, ray_samples, k_runs):
+    return packed_all[idx], (packed_all.shape, idx)
+
+
+def _ray_dedup_gather_bwd(ray_samples, k_runs, residuals, g):
+    (tab_shape, idx) = residuals
+    N, Ld = idx.shape
+    S = ray_samples
+    R = N // S
+    W = g.shape[-1]
+    ids_r = idx.reshape(R, S, Ld)
+    g_r = g.reshape(R, S, Ld, W)
+
+    rows_all, tots_all = [], []
+    for l in range(Ld):
+        K = k_runs[l]
+        ids = ids_r[:, :, l]                      # (R,S)
+        u = g_r[:, :, l, :]                       # (R,S,W)
+        is_end = jnp.concatenate(
+            [ids[:, 1:] != ids[:, :-1],
+             jnp.ones((R, 1), bool)], axis=1)     # (R,S)
+        csum = jnp.cumsum(u, axis=1)              # (R,S,W)
+        # first K run-ends in ray order: score decreases with s so top_k
+        # returns them ascending in s
+        s_pos = jnp.arange(S)[None, :]
+        score = jnp.where(is_end, S - 1 - s_pos, -1)
+        top_vals, pos_k = jax.lax.top_k(score, K)  # (R,K)
+        valid_k = top_vals >= 0
+        pos_k = jnp.where(valid_k, pos_k, S - 1)
+        end_cs = jnp.take_along_axis(csum, pos_k[..., None], axis=1)  # (R,K,W)
+        prev_cs = jnp.concatenate(
+            [jnp.zeros((R, 1, W), csum.dtype), end_cs[:, :-1]], axis=1)
+        tot = (end_cs - prev_cs) * valid_k[..., None]
+        rows = jnp.take_along_axis(ids, pos_k, axis=1)                # (R,K)
+        rows = jnp.where(valid_k, rows, 0)
+        rows_all.append(rows.reshape(-1))
+        tots_all.append(tot.reshape(-1, W))
+
+    rows_cat = jnp.concatenate(rows_all)
+    tots_cat = jnp.concatenate(tots_all, axis=0)
+    d_packed = jnp.zeros(tab_shape, tots_cat.dtype).at[rows_cat].add(tots_cat)
+    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return d_packed, d_idx
+
+
+_ray_dedup_gather.defvjp(_ray_dedup_gather_fwd, _ray_dedup_gather_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -132,8 +211,15 @@ def hashgrid_encode(table, x, spec: HashGridSpec):
             b = x0[:, l, :]
             base = (b[:, 0] * S + b[:, 1]) * S + b[:, 2] + offsets[k]
             idx_list.append(base)
-        idx_dense = jnp.stack(idx_list, axis=1).reshape(-1)  # (N*Ld,)
-        got = packed_all[idx_dense]                          # ONE gather
+        idx_dense = jnp.stack(idx_list, axis=1)              # (N, Ld)
+        if spec.ray_samples > 0 and N % spec.ray_samples == 0:
+            k_runs = tuple(dedup_max_runs(int(res_np[l]), spec.ray_samples)
+                           for l in dense_ids)
+            got = _ray_dedup_gather(packed_all, idx_dense,
+                                    spec.ray_samples, k_runs)
+        else:
+            got = packed_all[idx_dense.reshape(-1)].reshape(
+                N, len(dense_ids), -1)
         got = got.reshape(N, len(dense_ids), 8, C).astype(jnp.float32)
         vals = vals.at[:, jnp.asarray(dense_ids)].set(got)
 
