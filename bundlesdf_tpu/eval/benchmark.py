@@ -9,16 +9,13 @@ from __future__ import annotations
 
 import glob
 import logging
-import os
 
 import numpy as np
 
 from bundlesdf_tpu.eval.metrics import (add_err, adi_err,
                                         chamfer_distance_mutual, compute_auc,
                                         icp_point_to_point)
-from bundlesdf_tpu.mesh import Mesh
 from bundlesdf_tpu.scene.bounds import voxel_downsample
-from bundlesdf_tpu.utils.common import to_homo
 
 
 def benchmark_video(out_dir, gt_poses, gt_model_pts, gt_visible_pts=None,

@@ -12,7 +12,6 @@ host in numpy; the resulting ray store is a dict of device arrays.
 from __future__ import annotations
 
 import logging
-import math
 import os
 
 import cv2
