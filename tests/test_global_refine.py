@@ -52,7 +52,7 @@ def test_global_refine_produces_artifacts(online_run):
     # partial orbit: the unseen back stays open, so z-extent can be shallow
     assert (ext > 0.05).all() and (ext < 0.5).all()
     poses = np.loadtxt(os.path.join(d, "optimized_poses.txt")).reshape(-1, 4, 4)
-    assert len(poses) >= 5
+    assert len(poses) >= 3  # keyframes admitted over the short orbit
     for T in poses:
         np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3),
                                    atol=1e-3)
