@@ -354,7 +354,10 @@ class NofRunner:
 
     def train(self, n_steps=None):
         """Run the remaining training steps as fixed-length on-device scans
-        (ref train nerf_runner.py:855-863). Returns stacked metrics."""
+        (ref train nerf_runner.py:855-863). Between chunks, the reference's
+        interval hooks fire: loss print (i_print, nerf_runner.py:794-818),
+        debug render (i_img :768-791), checkpoint (i_weights :744),
+        mesh/pose dumps (i_mesh/i_pose :826-852). Returns stacked metrics."""
         n = self.N_iters if n_steps is None else n_steps
         all_metrics = []
         remaining = n
@@ -366,11 +369,60 @@ class NofRunner:
                 self.occ_grid, k,
                 jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
                 self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters)
+            prev_step = self.global_step
             self.global_step += chunk
             remaining -= chunk
             all_metrics.append(metrics)
+            self._interval_hooks(prev_step, metrics)
         metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs), *all_metrics)
         return jax.tree.map(np.asarray, metrics)
+
+    def _crossed(self, prev, every):
+        return every and every < 10 ** 8 \
+            and (prev // every) != (self.global_step // every)
+
+    def _interval_hooks(self, prev_step, metrics):
+        cfg = self.cfg
+        save_dir = cfg.get("save_dir", "")
+        if self._crossed(prev_step, cfg.get("i_print", 0)):
+            means = {k: float(np.asarray(v).mean())
+                     for k, v in metrics.items()}
+            logging.info(f"Iter {self.global_step}: " + ", ".join(
+                f"{k}: {v:.5f}" for k, v in sorted(means.items())))
+        if self._crossed(prev_step, cfg.get("i_weights", 0)) and save_dir:
+            self.save_weights(os.path.join(save_dir, "model_latest.npz"))
+        if self._crossed(prev_step, cfg.get("i_img", 0)) and save_dir:
+            self._save_debug_render(save_dir)
+        if self._crossed(prev_step, cfg.get("i_mesh", 0)) and save_dir:
+            mesh = self.extract_mesh()
+            if mesh is not None:
+                mesh.export(os.path.join(
+                    save_dir,
+                    f"step_{self.global_step:07d}_mesh_normalized_space.obj"))
+        if self._crossed(prev_step, cfg.get("i_pose", 0)) and save_dir:
+            poses, _ = self.get_optimized_poses_in_real_world()
+            np.savetxt(os.path.join(
+                save_dir, f"step_{self.global_step:07d}_optimized_poses.txt"),
+                poses.reshape(-1, 4))
+
+    def _save_debug_render(self, save_dir):
+        """Rendered-vs-GT color panel for the last training frame."""
+        fid = self.spec.n_frames - 1
+        out, idx = self.render_frame(fid)
+        if len(idx) == 0:
+            return
+        canvas = np.full((self.H, self.W, 3), 128, np.uint8)
+        dirs = np.asarray(self.rays["dirs"])[idx]
+        us = np.clip(np.round(dirs[:, 0] / -dirs[:, 2] * self.K[0, 0]
+                              + self.K[0, 2]).astype(int), 0, self.W - 1)
+        vs = np.clip(np.round(-dirs[:, 1] / -dirs[:, 2] * self.K[1, 1]
+                              + self.K[1, 2]).astype(int), 0, self.H - 1)
+        canvas[vs, us] = np.clip(out["rgb_map"] * 255, 0, 255).astype(np.uint8)
+        gt = np.clip(self.images[fid] * 255, 0, 255).astype(np.uint8)
+        os.makedirs(save_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(save_dir,
+                                 f"image_step_{self.global_step:07d}.png"),
+                    np.concatenate([canvas, gt], axis=1)[..., ::-1])
 
     # -- feature-match BA in ray space (ref make_key_ray_ids + train_BA
     # nerf_runner.py:866-976): offline pose refinement that pulls the
