@@ -122,7 +122,10 @@ class BundleSdf:
             return
         for (fA, fB), uv in zip(frame_pairs, raw):
             b.raw_matches_to_corres(fA, fB, uv)
+            b.viz_corres_between(fA, fB, "before_ransac")
         b.run_ransac(frame_pairs)
+        for fA, fB in frame_pairs:
+            b.viz_corres_between(fA, fB, "after_ransac")
         if use_map_points:
             for fA, fB in frame_pairs:
                 b.update_map_points(fA, fB)

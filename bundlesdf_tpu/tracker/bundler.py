@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -383,6 +384,41 @@ class Bundler:
         return pairs
 
     # ------------------------------------------------------------------
+    # debug artifacts (SPDLOG tiers; ref FeatureManager::vizCorresBetween
+    # FeatureManager.cpp:445-464 and OptimizerGpu savePoses LossGPU.cpp:26-46)
+    # ------------------------------------------------------------------
+    def viz_corres_between(self, fA: Frame, fB: Frame, tag: str):
+        """Side-by-side match visualization (SPDLOG>=3)."""
+        if int(self.cfg.get("SPDLOG", 1)) < 3:
+            return
+        import cv2
+        m = self.matches.get((fA.id, fB.id))
+        canvas = np.concatenate([fA.color, fB.color], axis=1).copy()
+        if m is not None:
+            for (uA, vA), (uB, vB) in zip(m["uvA"], m["uvB"]):
+                c = tuple(int(x) for x in np.random.default_rng(
+                    int(uA) * 7919 + int(vA)).integers(60, 255, 3))
+                cv2.line(canvas, (int(uA), int(vA)),
+                         (int(uB) + fA.W, int(vB)), c, 1)
+        out_dir = os.path.join(self.cfg["debug_dir"], fA.id_str)
+        os.makedirs(out_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(
+            out_dir, f"corres_{fA.id_str}_{fB.id_str}_{tag}.png"),
+            canvas[..., ::-1])
+
+    def _save_ba_poses(self, frames, tag: str):
+        """Pre/post-BA pose dumps (SPDLOG>=2)."""
+        if int(self.cfg.get("SPDLOG", 1)) < 2 or self.new_frame is None:
+            return
+        out_dir = os.path.join(self.cfg["debug_dir"], self.new_frame.id_str)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"opt_{tag}_poses.txt"), "w") as f:
+            for fr in frames:
+                np.savetxt(f, fr.pose_in_model)
+        with open(os.path.join(out_dir, "opt_frames.txt"), "w") as f:
+            f.write(" ".join(fr.id_str for fr in frames))
+
+    # ------------------------------------------------------------------
     # frame eviction (ref forgetFrame + SiftManager::forgetFrame)
     # ------------------------------------------------------------------
     def forget_frame(self, frame: Frame) -> bool:
@@ -476,6 +512,7 @@ class Bundler:
             src_idx[k, :len(flat)] = flat
             src_valid[k, :len(flat)] = True
 
+        self._save_ba_poses(frames, "before")
         poses0 = np.stack([f.pose_in_model for f in frames]
                           + [np.eye(4)] * (N_pad - N)).astype(np.float32)
         poses = np.asarray(bundle_adjust(
@@ -511,3 +548,4 @@ class Bundler:
 
         for k, f in enumerate(frames):
             f.pose_in_model = poses[k].astype(np.float64)
+        self._save_ba_poses(frames, "after")
