@@ -233,6 +233,26 @@ class BundleSdf:
     def run(self, color, depth, K, id_str, mask=None, occ_mask=None,
             pose_in_model=np.eye(4)):
         """@color: (H,W,3) RGB uint8; @depth: (H,W) float32 meters."""
+        # BEHAVE-style whole-pipeline downscale (ref config_behave.yml
+        # image_down_scale: frames and intrinsics shrink before tracking)
+        down = int(self.cfg_track.get("image_down_scale", 1))
+        if down > 1:
+            H0, W0 = np.asarray(color).shape[:2]
+            size = (W0 // down, H0 // down)
+            color = cv2.resize(np.asarray(color), size,
+                               interpolation=cv2.INTER_NEAREST)
+            depth = cv2.resize(np.asarray(depth, np.float32), size,
+                               interpolation=cv2.INTER_NEAREST)
+            if mask is not None:
+                mask = cv2.resize(np.asarray(mask), size,
+                                  interpolation=cv2.INTER_NEAREST)
+            if occ_mask is not None:
+                occ_mask = cv2.resize(np.asarray(occ_mask), size,
+                                      interpolation=cv2.INTER_NEAREST)
+            K = np.asarray(K, np.float64).copy()
+            K[0] *= size[0] / W0
+            K[1] *= size[1] / H0
+
         if self.K is None:
             self.K = np.asarray(K, np.float64)
             if self.SPDLOG >= 1:
