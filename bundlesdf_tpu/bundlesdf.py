@@ -504,6 +504,12 @@ class BundleSdf:
         mesh = self.nerf.extract_mesh(voxel_size=cfg["mesh_resolution"])
         out_dir = out_dir or os.path.join(dd, "nerf_with_bundletrack_online")
         os.makedirs(out_dir, exist_ok=True)
+        # config-as-artifact with learned normalization (ref
+        # bundlesdf.py:731-737) — postprocess_mesh reloads sc/translation
+        from bundlesdf_tpu.config import dump_config
+        dump_config({**cfg, "translation": np.asarray(self.translation)
+                     .tolist(), "sc_factor": float(self.sc_factor)},
+                    os.path.join(out_dir, "config.yml"))
         if mesh is not None:
             mesh.merge_vertices()
             mesh.keep_biggest_component()

@@ -111,6 +111,22 @@ class Mesh:
         self.faces = remap[self.faces[fm]]
         return self
 
+    def smooth_laplacian(self, lamb=0.5, iterations=3) -> "Mesh":
+        """Umbrella-operator Laplacian smoothing (trimesh
+        filter_laplacian equivalent; ref run_custom.py:186)."""
+        V = len(self.vertices)
+        e = np.concatenate([self.faces[:, [0, 1]], self.faces[:, [1, 2]],
+                            self.faces[:, [2, 0]]], axis=0)
+        e = np.concatenate([e, e[:, ::-1]], axis=0)
+        deg = np.zeros(V)
+        np.add.at(deg, e[:, 0], 1.0)
+        for _ in range(iterations):
+            nb_sum = np.zeros_like(self.vertices)
+            np.add.at(nb_sum, e[:, 0], self.vertices[e[:, 1]])
+            mean = nb_sum / np.maximum(deg[:, None], 1.0)
+            self.vertices = self.vertices + lamb * (mean - self.vertices)
+        return self
+
     def oriented_bounds(self):
         """PCA oriented bounding box (trimesh.bounds.oriented_bounds
         equivalent): returns (to_origin (4,4), extents (3,)) such that

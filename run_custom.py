@@ -119,6 +119,32 @@ def run_one_video_global_nerf(out_folder, video_dir=None):
     print("Done")
 
 
+def postprocess_mesh(out_folder):
+    """Un-normalize the latest NOF mesh, keep the biggest component, smooth
+    (ref run_custom.py:158-189)."""
+    cands = (sorted(glob.glob(f"{out_folder}/**/*normalized_space.obj",
+                              recursive=True))
+             or sorted(glob.glob(f"{out_folder}/**/mesh_cleaned.obj",
+                                 recursive=True)))
+    mesh_file = cands[-1]
+    print(f"Using {mesh_file}")
+    os.makedirs(f"{out_folder}/mesh", exist_ok=True)
+    mesh = Mesh.load(mesh_file)
+    with open(os.path.join(os.path.dirname(mesh_file), "config.yml")) as f:
+        cfg = yaml.safe_load(f)
+    tf = np.eye(4)
+    tf[:3, 3] = np.asarray(cfg["translation"]).reshape(3)
+    tf1 = np.eye(4)
+    tf1[:3, :3] *= cfg["sc_factor"]
+    mesh.apply_transform(np.linalg.inv(tf1 @ tf))
+    mesh.export(f"{out_folder}/mesh/mesh_real_scale.obj")
+    mesh.merge_vertices()
+    mesh.keep_biggest_component()
+    mesh.export(f"{out_folder}/mesh/mesh_biggest_component.obj")
+    mesh.smooth_laplacian(lamb=0.5, iterations=3)
+    mesh.export(f"{out_folder}/mesh/mesh_biggest_component_smoothed.obj")
+
+
 def draw_pose(out_folder):
     """Render pose box overlays (ref run_custom.py:191-206)."""
     K = np.loadtxt(f"{out_folder}/cam_K.txt").reshape(3, 3)
@@ -167,5 +193,7 @@ if __name__ == "__main__":
                                   video_dir=args.video_dir or None)
     elif args.mode == "draw_pose":
         draw_pose(args.out_folder)
+    elif args.mode == "postprocess_mesh":
+        postprocess_mesh(args.out_folder)
     else:
         raise RuntimeError(f"unknown mode {args.mode}")
