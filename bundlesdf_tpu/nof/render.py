@@ -35,6 +35,10 @@ class RenderConfig:
     far: float = 2.0                  # * sc_factor at build time
     n_trace_steps: int = 128          # DDA steps for the occupancy trace
     raw_noise_std: float = 0.0
+    # rematerialize the field query in the backward instead of saving its
+    # residuals — required at big configs (16 levels x 320 samples OOMs the
+    # chip), ~25% step cost at small ones, so the runner enables it by size
+    remat: bool = False
 
 
 def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
@@ -98,9 +102,14 @@ def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
     pts_w = jnp.einsum("nij,nsj->nsi", tf[:, :3, :3], pts_cam) + tf[:, None, :3, 3]
     valid_samples = jnp.all(jnp.abs(pts_w) <= 1.0, axis=-1)  # (N,S)
 
-    raw = nof_forward(params, spec, pts_w.reshape(-1, 3),
-                      viewdirs=jnp.repeat(viewdirs_w, S, axis=0),
-                      frame_ids=jnp.repeat(frame_ids, S, axis=0))
+    def field(p, pw, vd, fid):
+        return nof_forward(p, spec, pw, viewdirs=vd, frame_ids=fid)
+
+    if rcfg.remat:
+        field = jax.checkpoint(field)
+    raw = field(params, pts_w.reshape(-1, 3),
+                jnp.repeat(viewdirs_w, S, axis=0),
+                jnp.repeat(frame_ids, S, axis=0))
     raw = raw.reshape(N, S, 4)
     sdf = raw[..., 3]
     if rcfg.raw_noise_std > 0:

@@ -140,6 +140,11 @@ class NofRunner:
             frame_features=cfg["frame_features"], n_frames=len(self.images),
             max_trans=cfg["max_trans"] * sc, max_rot_deg=cfg["max_rot"],
             use_viewdirs=bool(cfg["use_viewdirs"]))
+        # field-query residuals scale with rays*samples*levels; remat when
+        # they would threaten HBM (the 16-level global-refine config OOMs
+        # without it)
+        residual_gb = (cfg["N_rand"] * n_samples_total * cfg["num_levels"]
+                       * 8 * cfg["feature_grid_dim"] * 2 * 4) / 1e9
         self.rcfg = RenderConfig(
             n_samples=cfg["N_samples"],
             n_samples_around_depth=cfg["N_samples_around_depth"],
@@ -147,7 +152,8 @@ class NofRunner:
             sdf_lambda=cfg["sdf_lambda"], near=cfg["near"] * sc,
             far=cfg["far"] * sc,
             n_trace_steps=int(cfg.get("n_trace_steps", 128)),
-            raw_noise_std=cfg["raw_noise_std"])
+            raw_noise_std=cfg["raw_noise_std"],
+            remat=bool(cfg.get("remat", residual_gb > 1.0)))
         self.lcfg = LossConfig(
             rgb_weight=cfg["rgb_weight"], fs_weight=cfg["fs_weight"],
             empty_weight=cfg["empty_weight"], trunc_weight=cfg["trunc_weight"],
