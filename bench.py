@@ -43,10 +43,10 @@ def main():
     runner = NofRunner(cfg, rgbs, depths, masks, normals, poses, seq["K"])
 
     # warmup: compiles the fixed-length scan chunk once
-    m = runner.train(n_steps=runner.SCAN_CHUNK)
+    m = runner.train(n_steps=runner.scan_chunk)
     np.asarray(m["loss"])  # host sync
 
-    n = 2 * runner.SCAN_CHUNK
+    n = 2 * runner.scan_chunk
     t0 = time.perf_counter()
     m = runner.train(n_steps=n)
     np.asarray(m["loss"])  # host sync (block_until_ready is unreliable

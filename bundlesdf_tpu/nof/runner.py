@@ -355,8 +355,15 @@ class NofRunner:
     # fixed scan length: the XLA compile of the scanned step is expensive
     # (minutes at full config) and scan programs are length-specific, so
     # train() always dispatches chunks of SCAN_CHUNK steps — one compile
-    # serves every batch/epoch; a short remainder adds at most one more
+    # serves every batch/epoch; a short remainder adds at most one more.
+    # Big models (16-level global refine) use a shorter chunk: the len-50
+    # program's compile crashes the TPU worker at that scale.
     SCAN_CHUNK = 50
+    SCAN_CHUNK_BIG = 10
+
+    @property
+    def scan_chunk(self) -> int:
+        return self.SCAN_CHUNK_BIG if self.rcfg.remat else self.SCAN_CHUNK
 
     def train(self, n_steps=None):
         """Run the remaining training steps as fixed-length on-device scans
@@ -368,7 +375,8 @@ class NofRunner:
         all_metrics = []
         remaining = n
         while remaining > 0:
-            chunk = self.SCAN_CHUNK if remaining >= self.SCAN_CHUNK else remaining
+            chunk = (self.scan_chunk if remaining >= self.scan_chunk
+                     else remaining)
             self.key, k = jax.random.split(self.key)
             self.params, self.opt_state, metrics = train_steps(
                 self.params, self.opt_state, self.rays, self.c2w_array,
