@@ -406,18 +406,41 @@ class BundleSdf:
         if self.SPDLOG < 1:
             return
         dd = self.debug_dir
-        for sub in ("ob_in_cam", "color", "depth_filtered", "mask"):
+        for sub in ("ob_in_cam", "color", "color_segmented", "depth",
+                    "depth_filtered", "depth_vis", "normal", "mask"):
             os.makedirs(os.path.join(dd, sub), exist_ok=True)
         ob_in_cam = np.linalg.inv(frame.pose_in_model)
         np.savetxt(os.path.join(dd, "ob_in_cam", f"{frame.id_str}.txt"),
                    ob_in_cam)
         cv2.imwrite(os.path.join(dd, "color", f"{frame.id_str}.png"),
                     frame.color[..., ::-1])
+        # mask-applied color (ref _color after invalidatePixelsByMask,
+        # Bundler.cpp:1034-1039 color_segmented/)
+        seg = frame.color.copy()
+        seg[frame.fg_mask == 0] = 0
+        cv2.imwrite(os.path.join(dd, "color_segmented",
+                                 f"{frame.id_str}.png"), seg[..., ::-1])
+        cv2.imwrite(os.path.join(dd, "depth", f"{frame.id_str}.png"),
+                    (frame.depth_raw * 1000).astype(np.uint16))
         cv2.imwrite(os.path.join(dd, "depth_filtered", f"{frame.id_str}.png"),
                     (frame.depth * 1000).astype(np.uint16))
         cv2.imwrite(os.path.join(dd, "mask", f"{frame.id_str}.png"),
                     (frame.fg_mask > 0).astype(np.uint8) * 255)
-        # keyframe registry for global refine (ref keyframes.yml)
+        # inverse-depth visualization (ref Bundler.cpp:1044-1055)
+        with np.errstate(divide="ignore"):
+            dv = np.where(frame.depth >= 0.1, 1.0 / frame.depth / 10 * 255, 0)
+        cv2.imwrite(os.path.join(dd, "depth_vis", f"{frame.id_str}.png"),
+                    np.clip(dv, 0, 255).astype(np.uint8))
+        # normal map packed to [0,255] rgb (ref Bundler.cpp:1016-1032)
+        n = frame.normal_map
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = np.where((frame.depth[..., None] >= 0.1) & (norm > 1e-8),
+                     n / np.maximum(norm, 1e-8), 0.0)
+        n_img = ((n + 1) / 2 * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(dd, "normal", f"{frame.id_str}.png"),
+                    n_img[..., ::-1])
+        # keyframe registry for global refine (ref keyframes.yml) + frame
+        # status record (ref Bundler.cpp:1087-1095 frame.txt)
         kf_dir = os.path.join(dd, frame.id_str)
         os.makedirs(kf_dir, exist_ok=True)
         reg = {}
@@ -428,6 +451,10 @@ class BundleSdf:
             }
         with open(os.path.join(kf_dir, "keyframes.yml"), "w") as f:
             yaml.safe_dump(reg, f)
+        with open(os.path.join(kf_dir, "frame.txt"), "w") as f:
+            f.write(f"status: {frame.status.name}\n")
+            if frame.ref_frame_id >= 0:
+                f.write(f"ref_frame_id: {frame.ref_frame_id}\n")
 
     # ------------------------------------------------------------------
     def on_finish(self):

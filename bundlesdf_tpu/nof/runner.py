@@ -153,6 +153,8 @@ class NofRunner:
             far=cfg["far"] * sc,
             n_trace_steps=int(cfg.get("n_trace_steps", 128)),
             raw_noise_std=cfg["raw_noise_std"],
+            n_importance=int(cfg.get("N_importance", 0)),
+            n_importance_iter=int(cfg.get("N_importance_iter", 1)),
             remat=bool(cfg.get("remat", residual_gb > 1.0)))
         self.lcfg = LossConfig(
             rgb_weight=cfg["rgb_weight"], fs_weight=cfg["fs_weight"],

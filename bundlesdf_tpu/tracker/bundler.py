@@ -294,6 +294,18 @@ class Bundler:
         TB = fB.pose_in_model
         src = m["pA_cam"] @ TA[:3, :3].T + TA[:3, 3]
         dst = m["pB_cam"] @ TB[:3, :3].T + TB[:3, 3]
+        # degeneracy guard: (near-)collinear or collapsed inlier sets make
+        # Kabsch ill-posed — the reference relies on its SVD solver returning
+        # identity for degenerate input (Utils.cpp:360-404); we detect rank
+        # deficiency of the centered cloud directly
+        for cloud in (src, dst):
+            ev = np.linalg.eigvalsh(np.cov(cloud.T))
+            # a (near-)line or point leaves rotation about the line axis
+            # unconstrained: second principal direction must carry spread
+            if ev[1] < max(1e-12, 1e-5 * ev[2]):
+                logging.info(f"procrustes {fA.id_str}-{fB.id_str}: "
+                             f"degenerate inlier set ({ev}), identity")
+                return np.eye(4)
         # pad to the shared cap so the jitted solve compiles once
         M = self.MATCH_CAP
         w = _pad_to(np.ones(len(src), np.float32), M)
@@ -301,6 +313,18 @@ class Bundler:
             jnp.asarray(_pad_to(src, M), jnp.float32),
             jnp.asarray(_pad_to(dst, M), jnp.float32),
             jnp.asarray(w)), np.float64)
+        # residual guard (ref procrustesByCorrespondence
+        # FeatureManager.cpp:1095-1127: ||src_est-dst||/n > 1e-3 between
+        # temporal neighbors pauses with debug dumps — note the reference's
+        # `frameB->_id-frameA->_id==1` is dead code since frameA.id>frameB.id
+        # is asserted; this is the intended live check. Headless: log +
+        # identity so the FAIL cascade handles it instead of a garbage pose)
+        err = float(np.linalg.norm(src @ T[:3, :3].T + T[:3, 3] - dst)
+                    / max(len(src), 1))
+        if fA.id - fB.id == 1 and err > 1e-3:
+            logging.warning(f"procrustes {fA.id_str}-{fB.id_str}: residual "
+                            f"{err:.5f} > 1e-3, rejecting pose")
+            return np.eye(4)
         return T
 
     # ------------------------------------------------------------------
@@ -333,27 +357,182 @@ class Bundler:
         return True
 
     # ------------------------------------------------------------------
-    # BA window selection (ref selectKeyFramesForBA Bundler.cpp:430-526,
-    # default method normal_orientation_nearest)
+    # BA window selection (ref selectKeyFramesForBA Bundler.cpp:430-609):
+    # default normal_orientation_nearest plus the 5 alternate strategies
     # ------------------------------------------------------------------
+    def _rot_dist_ignore_z(self, fA: Frame, fB: Frame) -> float:
+        return float(rot_geodesic_ignore_cam_z(
+            jnp.asarray(fA.pose_in_model[:3, :3].T),
+            jnp.asarray(fB.pose_in_model[:3, :3].T)))
+
+    def _n_shared_map_points(self, fA: Frame, fB: Frame) -> int:
+        """Count map points observed by both frames (ref
+        getCovisibleMapPoints, used by greedy_covisible_points)."""
+        reg = self._map_points.get(fA.id, {})
+        return sum(1 for mpt in reg.values() if fB.id in mpt)
+
     def select_keyframes_for_ba(self):
         max_ba = self.cfg["bundle"]["max_BA_frames"]
-        frames = [self.new_frame]
         if len(self.keyframes) + 1 <= max_ba:
-            frames += [kf for kf in self.keyframes if kf is not self.new_frame]
-        else:
-            scores = self.covisibility_many(self.new_frame, self.keyframes)
-            vis = sorted(zip(scores, range(len(self.keyframes))),
-                         key=lambda x: -x[0])
-            vis = [(s, self.keyframes[i]) for s, i in vis]
-            for _, kf in vis:
-                if kf is self.new_frame:
-                    continue
-                frames.append(kf)
+            frames = [self.new_frame] + [kf for kf in self.keyframes
+                                         if kf is not self.new_frame]
+            frames.sort(key=lambda f: f.id)
+            self.local_frames = frames
+            return
+
+        method = self.cfg["bundle"].get("subset_selection_method",
+                                        "normal_orientation_nearest")
+        nf = self.new_frame
+        kf0 = self.keyframes[0]
+        pool = [kf for kf in self.keyframes if kf is not nf]
+
+        if method == "normal_orientation_nearest":
+            # covisibility with the new frame, descending (ref :501-526)
+            frames = {nf}
+            scores = self.covisibility_many(nf, pool)
+            for i in np.argsort(-scores):
+                frames.add(pool[i])
                 if len(frames) == max_ba:
                     break
-        frames.sort(key=lambda f: f.id)
+        elif method == "nearest_rotations":
+            # rot distance (ignoring cam-Z roll) to the new frame, ascending
+            # (ref :474-499)
+            frames = {nf}
+            dists = [self._rot_dist_ignore_z(nf, kf) for kf in pool]
+            for i in np.argsort(dists):
+                frames.add(pool[i])
+                if len(frames) == max_ba:
+                    break
+        elif method == "greedy_rot":
+            # grow the set by the keyframe with least cumulative rot distance
+            # to the current set (ref :449-472); seeded with keyframes[0]
+            frames = {nf, kf0}
+            while len(frames) < max_ba:
+                rest = [kf for kf in pool if kf not in frames]
+                if not rest:
+                    break
+                cum = [sum(self._rot_dist_ignore_z(kf, f) for f in frames)
+                       for kf in rest]
+                frames.add(rest[int(np.argmin(cum))])
+        elif method == "normal_orientation_greedy":
+            # grow by max summed covisibility to the current set (ref :528-551)
+            frames = {nf, kf0}
+            while len(frames) < max_ba:
+                rest = [kf for kf in pool if kf not in frames]
+                if not rest:
+                    break
+                sums = np.zeros(len(rest))
+                for f in frames:
+                    sums += self.covisibility_many(f, rest)
+                if sums.max() <= 0:
+                    break
+                frames.add(rest[int(np.argmax(sums))])
+        elif method == "greedy_covisible_points":
+            # grow by shared map-point count with {keyframes[0], newframe}
+            # (ref :553-577)
+            frames = {nf, kf0}
+            refs = [kf0, nf]
+            while len(frames) < max_ba:
+                rest = [kf for kf in pool if kf not in frames]
+                if not rest:
+                    break
+                counts = [sum(self._n_shared_map_points(r, kf) for r in refs)
+                          for kf in rest]
+                if max(counts) <= 0:
+                    break
+                frames.add(rest[int(np.argmax(counts))])
+        elif method == "max_edge":
+            # DFS over match-connected paths keyframes[0] -> newframe,
+            # maximizing total match count at size max_BA (ref :579-589 +
+            # maxNumEdgePathDfs :612-685). Deviation: edges come from the
+            # existing match table — the reference runs the matcher inside
+            # the DFS, which it itself flags "Super slow".
+            frames = self._max_edge_dfs(kf0, nf, pool, max_ba) or {nf, kf0}
+        elif method == "near_enough_rot":
+            # smallest set connecting keyframes[0] to newframe where every
+            # added frame is within 30deg plain rot geodesic of the set
+            # (ref :591-599 + nearEnoughRotSearch :690-746)
+            frames = self._near_enough_rot_search(kf0, nf, pool) or {nf, kf0}
+        else:
+            raise ValueError(
+                f"unknown bundle.subset_selection_method {method!r} "
+                "(ref Bundler.cpp:604-608 exits here)")
+
+        frames = sorted(frames, key=lambda f: f.id)
         self.local_frames = frames
+
+    def _has_match_edge(self, fA: Frame, fB: Frame) -> bool:
+        if fA.id < fB.id:
+            fA, fB = fB, fA
+        m = self.matches.get((fA.id, fB.id))
+        return m is not None and len(m["conf"]) > 0
+
+    def _n_match_edges(self, frames) -> int:
+        fl = list(frames)
+        tot = 0
+        for i in range(len(fl)):
+            for j in range(i + 1, len(fl)):
+                a, b = ((fl[i], fl[j]) if fl[i].id > fl[j].id
+                        else (fl[j], fl[i]))
+                m = self.matches.get((a.id, b.id))
+                tot += 0 if m is None else len(m["conf"])
+        return tot
+
+    def _max_edge_dfs(self, start: Frame, goal: Frame, pool, max_ba):
+        pool = pool + [goal]
+        best = {"path": None, "n": -1}
+        visited = set()
+
+        def dfs(cur, path):
+            key = frozenset(f.id for f in path)
+            if key in visited:
+                return
+            visited.add(key)
+            if len(path) == max_ba:
+                if goal in path:
+                    n = self._n_match_edges(path)
+                    if n > best["n"]:
+                        best["path"], best["n"] = set(path), n
+                return
+            for kf in pool:
+                if kf in path or not self._has_match_edge(cur, kf):
+                    continue
+                dfs(kf, path | {kf})
+
+        dfs(start, {start})
+        return best["path"]
+
+    def _near_enough_rot_search(self, start: Frame, goal: Frame, pool):
+        pool = pool + [goal]
+        best = {"path": None}
+        visited = set()
+        near_thres = np.deg2rad(30.0)
+
+        def plain_rot(fA, fB):
+            R1 = fA.pose_in_model[:3, :3]
+            R2 = fB.pose_in_model[:3, :3]
+            return np.arccos(np.clip((np.trace(R1 @ R2.T) - 1) / 2, -1, 1))
+
+        def dfs(cur, path):
+            key = frozenset(f.id for f in path)
+            if key in visited:
+                return
+            visited.add(key)
+            if best["path"] is not None and len(path) > len(best["path"]):
+                return
+            if goal in path:
+                if best["path"] is None or len(path) < len(best["path"]):
+                    best["path"] = set(path)
+                return
+            for kf in pool:
+                if kf in path:
+                    continue
+                if not any(plain_rot(kf, f) < near_thres for f in path):
+                    continue
+                dfs(kf, path | {kf})
+
+        dfs(start, {start})
+        return best["path"]
 
     # ------------------------------------------------------------------
     # match-pair gating (ref getFeatureMatchPairs Bundler.cpp:781-807)
@@ -394,12 +573,17 @@ class Bundler:
         import cv2
         m = self.matches.get((fA.id, fB.id))
         canvas = np.concatenate([fA.color, fB.color], axis=1).copy()
-        if m is not None:
-            for (uA, vA), (uB, vB) in zip(m["uvA"], m["uvB"]):
-                c = tuple(int(x) for x in np.random.default_rng(
-                    int(uA) * 7919 + int(vA)).integers(60, 255, 3))
+        if m is not None and len(m["uvA"]) > 0:
+            # deterministic per-match colors from one hash, no RNG objects
+            seeds = (m["uvA"][:, 0].astype(np.int64) * 7919
+                     + m["uvA"][:, 1].astype(np.int64))
+            colors = np.stack([(seeds * p) % 195 + 60
+                               for p in (2654435761, 805459861, 40503)],
+                              axis=-1).astype(int)
+            for (uA, vA), (uB, vB), c in zip(m["uvA"], m["uvB"], colors):
                 cv2.line(canvas, (int(uA), int(vA)),
-                         (int(uB) + fA.W, int(vB)), c, 1)
+                         (int(uB) + fA.W, int(vB)), tuple(int(x) for x in c),
+                         1)
         out_dir = os.path.join(self.cfg["debug_dir"], fA.id_str)
         os.makedirs(out_dir, exist_ok=True)
         cv2.imwrite(os.path.join(

@@ -46,6 +46,8 @@ class Frame:
         self.occ_mask = None if occ_mask is None else np.asarray(occ_mask)
         if self.occ_mask is not None:
             self.fg_mask[self.occ_mask > 0] = 0
+        # raw depth kept for debug dumps (ref _depth_raw, Bundler.cpp:998)
+        self.depth_raw = np.asarray(depth, np.float32).copy()
 
         dp = cfg["depth_processing"]
         d, xyz, nrm = preprocess_depth_frame(

@@ -92,3 +92,42 @@ def test_segmenter_stub(tmp_path):
     cv2.imwrite(f, np.full((10, 10), 255, np.uint8))
     mask = Segmenter().run(f)
     assert mask.shape == (10, 10) and (mask > 0).all()
+
+
+def test_segmenter_bg_subtraction(tmp_path):
+    """bg_dir/bg_dist (config_ycbineoat.yml:14-15): mask pixels whose 3D
+    point sits on the pre-captured background cloud are removed."""
+    import cv2
+    import numpy as np
+    from bundlesdf_tpu.utils.segmentation import Segmenter, load_ply_vertices
+
+    K = np.array([[100.0, 0, 16], [0, 100.0, 12], [0, 0, 1]])
+    depth = np.full((24, 32), 0.5, np.float32)
+    mask = np.full((24, 32), 255, np.uint8)
+    # background plane at z=0.5 covering the left half of the image
+    us, vs = np.meshgrid(np.arange(16), np.arange(24))
+    z = np.full(us.size, 0.5)
+    x = (us.reshape(-1) - K[0, 2]) * z / K[0, 0]
+    y = (vs.reshape(-1) - K[1, 2]) * z / K[1, 1]
+    bg = np.stack([x, y, z], -1)
+    ply = tmp_path / "bg.ply"
+    with open(ply, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(bg)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "end_header\n")
+        for p in bg:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    np.testing.assert_allclose(load_ply_vertices(str(ply)), bg, atol=1e-6)
+
+    mask_file = tmp_path / "mask.png"
+    cv2.imwrite(str(mask_file), mask)
+    seg = Segmenter({"segmentation": {"bg_dir": str(ply), "bg_dist": 0.005}})
+    out = seg.run(str(mask_file), depth=depth, K=K)
+    assert (out[:, :16] == 0).all()      # background half removed
+    assert (out[:, 17:] > 0).all()       # foreground half kept
+
+    # without a bg cloud the mask passes through unchanged
+    seg2 = Segmenter({})
+    out2 = seg2.run(str(mask_file), depth=depth, K=K)
+    assert (out2 > 0).all()

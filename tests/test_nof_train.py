@@ -88,3 +88,34 @@ def test_continued_training_resumes(trained_runner):
     metrics = runner.train(n_steps=5)
     assert runner.global_step == step_before + 5
     assert np.isfinite(metrics["loss"]).all()
+
+
+def test_n_importance_adds_samples(trained_runner):
+    """N_importance>0 runs the hierarchical PDF resample (ref
+    nerf_runner.py:1090-1126): sample count grows by n_importance per
+    iteration, z stays sorted, output stays finite and close to the base
+    render on a converged model."""
+    from dataclasses import replace
+
+    runner, _, _ = trained_runner
+    m = np.asarray(runner.rays["mask"]) > 0
+    idx = np.nonzero(m)[0][:512]
+    batch = jax.tree.map(lambda a: a[jnp.asarray(idx)], runner.rays)
+    base_S = runner.rcfg.n_samples + runner.rcfg.n_samples_around_depth
+
+    out0 = render_rays(runner.params, runner.spec, runner.rcfg, batch,
+                       runner.c2w_array, runner.occ_grid,
+                       jax.random.PRNGKey(0), perturb=False)
+    rcfg_imp = replace(runner.rcfg, n_importance=8, n_importance_iter=2)
+    out = render_rays(runner.params, runner.spec, rcfg_imp, batch,
+                      runner.c2w_array, runner.occ_grid,
+                      jax.random.PRNGKey(0), perturb=False)
+    assert out["z_vals"].shape[-1] == base_S + 2 * 8
+    assert out0["z_vals"].shape[-1] == base_S
+    z = np.asarray(out["z_vals"])
+    assert (np.diff(z, axis=-1) >= -1e-6).all()
+    assert np.isfinite(np.asarray(out["rgb_map"])).all()
+    # converged model: importance sampling must not change the render much
+    d0 = np.asarray(jnp.sum(out0["weights"] * out0["z_vals"], -1))
+    d1 = np.asarray(jnp.sum(out["weights"] * out["z_vals"], -1))
+    assert np.abs(d0 - d1).mean() < 5e-3
