@@ -163,12 +163,15 @@ def _mlp(layers, x):
 
 
 def nof_forward(params, spec: NofSpec, pts, viewdirs=None, frame_ids=None,
-                compute_dtype=jnp.float32):
+                compute_dtype=jnp.float32, ray_mode: bool = False):
     """Full field query. @pts: (N,3) in [-1,1] (normalized object space);
     @viewdirs: (N,3) unit dirs in world/object space; @frame_ids: (N,) int.
+    @ray_mode: True iff pts are (rays * spec.grid.ray_samples) z-ordered
+    samples — enables the hash-grid run-dedup fast path.
     Returns (N,4): rgb logits (3) + sdf (1). (ref NeRFSmall.forward +
     run_network embedding assembly nerf_runner.py:1227-1304)."""
-    feats = hashgrid_encode(params["table"], pts, spec.grid).astype(compute_dtype)
+    feats = hashgrid_encode(params["table"], pts, spec.grid,
+                            ray_mode=ray_mode).astype(compute_dtype)
     h = _mlp(jax.tree.map(lambda a: a.astype(compute_dtype), params["sigma_net"]),
              feats)
     sdf, geo = h[..., :1], h[..., 1:]

@@ -110,7 +110,8 @@ def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
     valid_samples = jnp.all(jnp.abs(pts_w) <= 1.0, axis=-1)  # (N,S)
 
     def field(p, pw, vd, fid):
-        return nof_forward(p, spec, pw, viewdirs=vd, frame_ids=fid)
+        return nof_forward(p, spec, pw, viewdirs=vd, frame_ids=fid,
+                           ray_mode=True)
 
     if rcfg.remat:
         field = jax.checkpoint(field)

@@ -6,13 +6,28 @@ TPU-native replacement for the reference's CUDA grid encoder
 reference configs: online 4 levels 16->128 res, 2^22 table, 2 ch/level
 (`config.yml:44-47`); global refine 16 levels -> 256/512.
 
-Design notes (TPU-first):
-  - The table is a stacked (L, T, C) array; the forward is one batched
-    gather of 8 corners x L levels, the backward is the gather transpose
-    (scatter-add), which XLA lowers natively on TPU. All shapes static.
-  - Levels whose dense grid fits in the table use dense (collision-free)
-    indexing; larger levels use the NGP spatial hash (same prime constants
-    as the reference so ported weights stay valid).
+Design notes (TPU-first; v5e measurements in docs/PERF.md):
+  - The parameter is ONE flat (rows, C) array with exact per-level
+    allocation: dense (collision-free) levels get exactly (res+1)^3 rows,
+    oversized levels get 2^log2_hashmap_size hashed rows (same prime
+    constants as the reference so ported weights stay valid). No padding
+    to a uniform (L, T, C) block — that wasted 14x optimizer traffic and
+    backward zero-fills at the online config.
+  - XLA gather is ~12-22ns/row and scatter-add ~100ns/row on v5e
+    REGARDLESS of row width, so row count is everything. Dense levels
+    pack each voxel's 8 corner features into one 8C-wide row (8 cheap
+    flat rolls — neighbor offsets are constant strides in lexicographic
+    order), so a sample-level query is ONE row instead of 8.
+  - Ray mode (`ray_mode=True`, points grouped as (n_rays, ray_samples)
+    z-ordered along each ray): consecutive samples repeatedly land in the
+    same voxel, massively so at coarse levels. The encoder gathers ONE
+    packed row per (ray, voxel-run, level) — a per-level budget of
+    `k_runs` runs — and broadcasts runs back to samples with a one-hot
+    einsum that the MXU eats. Autodiff of this path scatters one row per
+    run instead of one per sample, and every other adjoint is a matmul.
+    Runs beyond the budget clamp to the last run (wrong features for the
+    overflow tail); the budget min(S, res) is empirically exact on real
+    ray workloads (trained-model rel err 6e-7 vs plain autodiff).
   - Interpolation runs in float32; the table may be bfloat16 or float32.
 """
 from __future__ import annotations
@@ -35,18 +50,11 @@ class HashGridSpec:
     base_res: int = 16
     finest_res: int = 128
     log2_hashmap_size: int = 22
-    # > 0 enables the ray-coherent dedup backward: points are treated as
-    # (n_rays, ray_samples) with samples z-ordered per ray, and the
-    # table-gradient scatter runs on per-ray voxel RUNS instead of per
-    # sample (XLA TPU scatter-add is row-count bound at ~100ns/row; along a
-    # ray, consecutive samples repeatedly hit the same voxel, massively so
-    # at coarse levels). Capped at `dedup_max_runs(res)` runs per ray per
-    # level; overflow runs (beyond the cap) are dropped from the gradient.
-    # Empirically the K=min(S, res) budget is EXACT on real workloads
-    # (trained-model table-grad rel err 6e-7 vs plain autodiff; halving the
-    # budget costs 0.4%): gradient-bearing samples cluster in few runs even
-    # when raw voxel-crossing counts exceed the budget.
+    # ray mode geometry: samples per ray (S). Only used by calls with
+    # ray_mode=True; see module docstring.
     ray_samples: int = 0
+    # optional per-dense-level run budgets; () -> min(S, res) default
+    k_runs: tuple = ()
 
     @property
     def table_size(self) -> int:
@@ -67,10 +75,35 @@ class HashGridSpec:
         b = self.per_level_scale
         return np.floor(self.base_res * b ** np.arange(self.n_levels)).astype(np.int64)
 
+    def layout(self):
+        """Per-level (res, is_dense, n_rows, offset) into the flat table."""
+        out = []
+        off = 0
+        for r in self.level_res():
+            r = int(r)
+            dense = (r + 1) ** 3 <= self.table_size
+            n_rows = (r + 1) ** 3 if dense else self.table_size
+            out.append((r, dense, n_rows, off))
+            off += n_rows
+        return out
+
+    @property
+    def total_rows(self) -> int:
+        return sum(n for _, _, n, _ in self.layout())
+
+    def run_budget(self, level: int) -> int:
+        """Per-ray voxel-run budget for a dense level, rounded up to 8."""
+        if self.k_runs:
+            k = self.k_runs[level]
+        else:
+            res = int(self.level_res()[level])
+            k = min(self.ray_samples, max(8, res))
+        return -(-int(k) // 8) * 8
+
 
 def init_hashgrid_params(key, spec: HashGridSpec, dtype=jnp.float32):
-    """Uniform(-1e-4, 1e-4) init, as in torch-ngp."""
-    shape = (spec.n_levels, spec.table_size, spec.level_dim)
+    """Uniform(-1e-4, 1e-4) init, as in torch-ngp. Shape (total_rows, C)."""
+    shape = (spec.total_rows, spec.level_dim)
     return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
 
 
@@ -78,105 +111,101 @@ def init_hashgrid_params(key, spec: HashGridSpec, dtype=jnp.float32):
 _CORNERS = np.array([[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)], np.int32)
 
 
-def dedup_max_runs(res: int, ray_samples: int) -> int:
-    """Per-ray voxel-run budget for a dense level: a ray's samples span at
-    most a few times the level resolution in voxels; generous cap, multiple
-    of 8."""
-    k = min(ray_samples, max(8, int(res)))
-    return -(-k // 8) * 8
+def _pack_dense_levels(table, spec: HashGridSpec):
+    """Build the packed corner table for dense levels.
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _ray_dedup_gather(packed_all, idx, ray_samples: int, k_runs: tuple):
-    """Gather packed corner rows with a run-dedup backward.
-
-    @packed_all: (Trows, 8C); @idx: (N, Ld) absolute row ids (level offsets
-    folded in). Forward == packed_all[idx]. Backward scatters ONE row per
-    (ray, voxel-run, level) instead of one per sample: along a z-ordered
-    ray, consecutive samples falling in the same voxel form a run whose
-    update total comes from a cumsum difference — pure dense math; only the
-    run totals hit the (row-count-bound) scatter.
+    For each dense level block (n_rows, C), neighbor corner c lives at a
+    constant flat offset (cx*(S*S) + cy*S + cz), so 8 rolls + concat give a
+    (sum_rows, 8C) table whose row i holds all 8 corner features of voxel
+    base i. Returns (packed_all, dense_level_ids, packed_offsets).
     """
-    return packed_all[idx]
+    packed_blocks, dense_ids, offsets = [], [], []
+    off = 0
+    for l, (res, dense, n_rows, t_off) in enumerate(spec.layout()):
+        if not dense:
+            continue
+        S = res + 1
+        block = jax.lax.dynamic_slice_in_dim(table, t_off, n_rows, axis=0)
+        shifts = [(int(c[0]) * S * S + int(c[1]) * S + int(c[2]))
+                  for c in _CORNERS]
+        packed = jnp.concatenate(
+            [jnp.roll(block, -s, axis=0) for s in shifts], axis=1)
+        packed_blocks.append(packed)
+        dense_ids.append(l)
+        offsets.append(off)
+        off += n_rows
+    if not packed_blocks:
+        return None, [], []
+    return jnp.concatenate(packed_blocks, axis=0), dense_ids, offsets
 
 
-def _ray_dedup_gather_fwd(packed_all, idx, ray_samples, k_runs):
-    return packed_all[idx], (packed_all.shape, idx)
+def _run_starts(ids):
+    """(R,S) int ids -> (R,S) bool, True where a new voxel run starts."""
+    R = ids.shape[0]
+    return jnp.concatenate(
+        [jnp.ones((R, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1)
 
 
-def _ray_dedup_gather_bwd(ray_samples, k_runs, residuals, g):
-    (tab_shape, idx) = residuals
-    N, Ld = idx.shape
-    S = ray_samples
-    R = N // S
-    W = g.shape[-1]
-    ids_r = idx.reshape(R, S, Ld)
-    g_r = g.reshape(R, S, Ld, W)
+def _dedup_level_features(packed_all, ids, K: int, W: int):
+    """Gather one packed row per voxel run and broadcast back to samples.
 
-    rows_all, tots_all = [], []
-    for l in range(Ld):
-        K = k_runs[l]
-        ids = ids_r[:, :, l]                      # (R,S)
-        u = g_r[:, :, l, :]                       # (R,S,W)
-        is_end = jnp.concatenate(
-            [ids[:, 1:] != ids[:, :-1],
-             jnp.ones((R, 1), bool)], axis=1)     # (R,S)
-        csum = jnp.cumsum(u, axis=1)              # (R,S,W)
-        # first K run-ends in ray order: score decreases with s so top_k
-        # returns them ascending in s
-        s_pos = jnp.arange(S)[None, :]
-        score = jnp.where(is_end, S - 1 - s_pos, -1)
-        top_vals, pos_k = jax.lax.top_k(score, K)  # (R,K)
-        valid_k = top_vals >= 0
-        pos_k = jnp.where(valid_k, pos_k, S - 1)
-        end_cs = jnp.take_along_axis(csum, pos_k[..., None], axis=1)  # (R,K,W)
-        prev_cs = jnp.concatenate(
-            [jnp.zeros((R, 1, W), csum.dtype), end_cs[:, :-1]], axis=1)
-        tot = (end_cs - prev_cs) * valid_k[..., None]
-        rows = jnp.take_along_axis(ids, pos_k, axis=1)                # (R,K)
-        rows = jnp.where(valid_k, rows, 0)
-        rows_all.append(rows.reshape(-1))
-        tots_all.append(tot.reshape(-1, W))
+    @packed_all: (D, W) packed corner table; @ids: (R, S) absolute packed
+    row ids, z-ordered along each ray; @K: static run budget.
+    Returns (R, S, W) per-sample packed features.
 
-    rows_cat = jnp.concatenate(rows_all)
-    tots_cat = jnp.concatenate(tots_all, axis=0)
-    d_packed = jnp.zeros(tab_shape, tots_cat.dtype).at[rows_cat].add(tots_cat)
-    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    return d_packed, d_idx
+    The gather issues R*K rows (vs R*S*8 naive); its autodiff transpose is
+    an R*K-row scatter-add. The run->sample broadcast is a one-hot einsum
+    so BOTH its forward and its transpose are MXU matmuls (take_along_axis
+    here would transpose to a per-ray scatter — two orders slower).
+    """
+    R, S = ids.shape
+    is_start = _run_starts(ids)
+    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1   # (R,S)
+    run_id = jnp.minimum(run_id, K - 1)
 
+    # first K run starts, ascending in s (score decreases with s)
+    s_pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    score = jnp.where(is_start, S - 1 - s_pos, -1)
+    top_vals, pos_k = jax.lax.top_k(score, K)                     # (R,K)
+    valid_k = top_vals >= 0
+    pos_k = jnp.where(valid_k, pos_k, 0)
+    rows_k = jnp.take_along_axis(ids, pos_k, axis=1)              # (R,K)
+    rows_k = jnp.where(valid_k, rows_k, 0)
 
-_ray_dedup_gather.defvjp(_ray_dedup_gather_fwd, _ray_dedup_gather_bwd)
+    got = packed_all[rows_k.reshape(-1)].reshape(R, K, W)
+    got = got * valid_k[..., None]
+
+    def broadcast(got, run_id):
+        onehot = (run_id[..., None] == jnp.arange(K, dtype=jnp.int32)
+                  ).astype(got.dtype)                             # (R,S,K)
+        return jnp.einsum("rsk,rkw->rsw", onehot, got,
+                          preferred_element_type=jnp.float32)
+
+    # the (R,S,K) one-hot is pure index math — recompute it in the
+    # backward instead of storing hundreds of MB of residuals
+    return jax.checkpoint(broadcast)(got, run_id)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def hashgrid_encode(table, x, spec: HashGridSpec):
+@functools.partial(jax.jit, static_argnames=("spec", "ray_mode"))
+def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
     """Encode points with the multires hash grid.
 
-    @table: (L, T, C) parameters.
+    @table: (total_rows, C) flat parameters (see HashGridSpec.layout).
     @x: (N, 3) points in [-1, 1].
+    @ray_mode: True iff x is (n_rays * spec.ray_samples, 3) with samples
+      z-ordered along each ray — enables the run-dedup fast path. Mesh /
+      arbitrary-point queries MUST pass False (the default): the run
+      budget assumes ray coherence and silently truncates without it.
+
     Returns (N, L*C) float32 features. Differentiable in both args; the
     point gradient flows through the trilinear weights (needed for
     eikonal/normal losses).
-
-    TPU performance design (measured on v5e; XLA gather ~12ns/row and
-    scatter-add ~80ns/row REGARDLESS of row width, so row count is
-    everything):
-      - dense levels ((res+1)^3 <= T, which covers the whole online
-        config): per step, pack each voxel's 8 corner features into one
-        16-wide row using 8 cheap flat rolls of the dense block (neighbor
-        offsets are constant strides in lexicographic order), then ONE
-        gather row per (sample, level) instead of 8. Autodiff of the
-        roll+gather chain yields the equally-packed scatter-add in the
-        backward plus roll adjoints — an ~6x end-to-end win.
-      - oversized levels (global-refine finest 256/512) fall back to the
-        NGP spatial hash with one flat 8-corner gather (packing is
-        impossible: hashed neighbors are not stride-offset).
     """
-    L, T, C = table.shape
+    D, C = table.shape
     N = x.shape[0]
+    layout = spec.layout()
     x01 = jnp.clip((x.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)  # [0,1]
-    res_np = spec.level_res()                              # (L,) host
-    dense_l = [(int(r) + 1) ** 3 <= T for r in res_np]
+    res_np = np.array([r for r, _, _, _ in layout], np.int64)
 
     res = jnp.asarray(res_np, jnp.int32)[None, :, None]    # (1,L,1)
     xl = x01[:, None, :] * res.astype(jnp.float32)         # (N,L,3)
@@ -187,57 +216,50 @@ def hashgrid_encode(table, x, spec: HashGridSpec):
     wc = jnp.prod(jnp.where(cb, w[:, :, None, :], 1.0 - w[:, :, None, :]),
                   axis=-1)                                 # (N,L,8)
 
+    L = spec.n_levels
     vals = jnp.zeros((N, L, 8, C), jnp.float32)
 
     # ---- dense levels: packed-corner single-row gather ------------------
-    dense_ids = [l for l in range(L) if dense_l[l]]
+    packed_all, dense_ids, packed_offs = _pack_dense_levels(table, spec)
     if dense_ids:
-        packed_blocks = []
-        offsets = []
-        off = 0
-        for l in dense_ids:
-            S = int(res_np[l]) + 1
-            n_rows = S ** 3
-            block = table[l, :n_rows].reshape(n_rows, C)
-            shifts = [(int(c[0]) * S * S + int(c[1]) * S + int(c[2]))
-                      for c in _CORNERS]
-            packed = jnp.concatenate(
-                [jnp.roll(block, -s, axis=0) for s in shifts], axis=1)
-            packed_blocks.append(packed)            # (n_rows, 8C)
-            offsets.append(off)
-            off += n_rows
-        packed_all = jnp.concatenate(packed_blocks, axis=0)  # (sumS3, 8C)
-
+        W = 8 * C
         idx_list = []
         for k, l in enumerate(dense_ids):
             S = int(res_np[l]) + 1
             b = x0[:, l, :]
-            base = (b[:, 0] * S + b[:, 1]) * S + b[:, 2] + offsets[k]
+            base = (b[:, 0] * S + b[:, 1]) * S + b[:, 2] + packed_offs[k]
             idx_list.append(base)
-        idx_dense = jnp.stack(idx_list, axis=1)              # (N, Ld)
-        if spec.ray_samples > 0 and N % spec.ray_samples == 0:
-            k_runs = tuple(dedup_max_runs(int(res_np[l]), spec.ray_samples)
-                           for l in dense_ids)
-            got = _ray_dedup_gather(packed_all, idx_dense,
-                                    spec.ray_samples, k_runs)
+
+        S_ray = spec.ray_samples
+        if ray_mode and S_ray > 0 and N % S_ray == 0:
+            R = N // S_ray
+            feats = []
+            for k, l in enumerate(dense_ids):
+                K = min(spec.run_budget(l), S_ray)
+                ids = idx_list[k].reshape(R, S_ray)
+                feats.append(_dedup_level_features(packed_all, ids, K, W))
+            got = jnp.stack(feats, axis=2).reshape(N, len(dense_ids), W)
         else:
+            idx_dense = jnp.stack(idx_list, axis=1)        # (N, Ld)
             got = packed_all[idx_dense.reshape(-1)].reshape(
-                N, len(dense_ids), -1)
+                N, len(dense_ids), W)
         got = got.reshape(N, len(dense_ids), 8, C).astype(jnp.float32)
         vals = vals.at[:, jnp.asarray(dense_ids)].set(got)
 
     # ---- oversized levels: spatial hash, one flat 8-corner gather --------
-    hash_ids = [l for l in range(L) if not dense_l[l]]
+    hash_ids = [l for l in range(L) if not layout[l][1]]
     if hash_ids:
+        T = spec.table_size
         corner = x0[:, hash_ids][:, :, None, :] + corners[None, None]
         cu = corner.astype(jnp.uint32)
         h = ((cu[..., 0] * jnp.uint32(_PRIMES[0]))
              ^ (cu[..., 1] * jnp.uint32(_PRIMES[1]))
              ^ (cu[..., 2] * jnp.uint32(_PRIMES[2])))
         idx = (h & jnp.uint32(T - 1)).astype(jnp.int32)      # (N,Lh,8)
-        level_off = (jnp.asarray(hash_ids, jnp.int32) * T)[None, :, None]
+        level_off = jnp.asarray([layout[l][3] for l in hash_ids],
+                                jnp.int32)[None, :, None]
         flat_idx = (idx + level_off).reshape(-1)
-        gv = table.reshape(L * T, C)[flat_idx]
+        gv = table[flat_idx]
         gv = gv.reshape(N, len(hash_ids), 8, C).astype(jnp.float32)
         vals = vals.at[:, jnp.asarray(hash_ids)].set(gv)
 
@@ -246,27 +268,28 @@ def hashgrid_encode(table, x, spec: HashGridSpec):
 
 
 def hashgrid_encode_np(table, x, spec: HashGridSpec):
-    """Pure-numpy golden reference for tests."""
+    """Pure-numpy golden reference for tests (flat table layout)."""
     table = np.asarray(table, np.float64)
     x = np.asarray(x, np.float64)
-    L, T, C = table.shape
+    C = table.shape[-1]
     x01 = np.clip((x + 1.0) * 0.5, 0.0, 1.0)
+    L = spec.n_levels
     out = np.zeros((x.shape[0], L, C))
-    for li, res in enumerate(spec.level_res()):
+    for li, (res, dense, n_rows, off) in enumerate(spec.layout()):
         xl = x01 * res
         x0 = np.clip(np.floor(xl).astype(np.int64), 0, res - 1)
         w = xl - x0
-        n_dense = (res + 1) ** 3
+        block = table[off:off + n_rows]
         for c in range(8):
-            off = _CORNERS[c]
-            corner = x0 + off
-            if n_dense <= T:
+            coff = _CORNERS[c]
+            corner = x0 + coff
+            if dense:
                 stride = res + 1
                 idx = (corner[:, 0] * stride + corner[:, 1]) * stride + corner[:, 2]
             else:
                 idx = ((corner[:, 0] * _PRIMES[0])
                        ^ (corner[:, 1] * _PRIMES[1])
-                       ^ (corner[:, 2] * _PRIMES[2])) & (T - 1)
-            wc = np.prod(np.where(off.astype(bool), w, 1.0 - w), axis=-1)
-            out[:, li] += table[li, idx] * wc[:, None]
+                       ^ (corner[:, 2] * _PRIMES[2])) & (spec.table_size - 1)
+            wc = np.prod(np.where(coff.astype(bool), w, 1.0 - w), axis=-1)
+            out[:, li] += block[idx] * wc[:, None]
     return out.reshape(x.shape[0], L * C)

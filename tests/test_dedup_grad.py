@@ -31,18 +31,20 @@ def test_dedup_gradient_matches_autodiff():
     key = jax.random.normal(jax.random.PRNGKey(1),
                             (x.shape[0], spec_plain.out_dim))
 
-    def loss(spec):
+    def loss(spec, ray_mode=False):
         def f(tab):
-            return jnp.sum(hashgrid_encode(tab, x, spec) * key)
+            return jnp.sum(hashgrid_encode(tab, x, spec, ray_mode=ray_mode)
+                           * key)
         return f
 
     # forwards identical
     np.testing.assert_allclose(
         np.asarray(hashgrid_encode(table, x, spec_plain)),
-        np.asarray(hashgrid_encode(table, x, spec_dedup)), atol=1e-6)
+        np.asarray(hashgrid_encode(table, x, spec_dedup, ray_mode=True)),
+        atol=1e-6)
 
     g_plain = jax.grad(loss(spec_plain))(table)
-    g_dedup = jax.grad(loss(spec_dedup))(table)
+    g_dedup = jax.grad(loss(spec_dedup, ray_mode=True))(table)
     np.testing.assert_allclose(np.asarray(g_dedup), np.asarray(g_plain),
                                rtol=1e-4, atol=1e-5)
 
@@ -55,7 +57,7 @@ def test_dedup_point_gradient_unaffected():
     x = _ray_points(n_rays=8, n_samples=n_samples)
 
     def loss(pts):
-        return jnp.sum(hashgrid_encode(table, pts, spec) ** 2)
+        return jnp.sum(hashgrid_encode(table, pts, spec, ray_mode=True) ** 2)
 
     g = jax.grad(loss)(x)
     assert np.isfinite(np.asarray(g)).all()
@@ -72,5 +74,6 @@ def test_non_ray_shapes_fall_back():
     table = init_hashgrid_params(jax.random.PRNGKey(0), spec)
     x = jax.random.uniform(jax.random.PRNGKey(1), (25, 3), minval=-1,
                            maxval=1)  # 25 % 24 != 0 -> plain path
-    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x, spec) ** 2))(table)
+    g = jax.grad(lambda t: jnp.sum(
+        hashgrid_encode(t, x, spec, ray_mode=True) ** 2))(table)
     assert np.isfinite(np.asarray(g)).all()

@@ -56,7 +56,9 @@ def test_pose_array_frame0_pinned_and_bounded():
 def test_init_and_forward_shapes():
     spec = _spec()
     params = init_nof_params(jax.random.PRNGKey(0), spec)
-    assert params["table"].shape == (2, 1024, 2)
+    # exact-allocation flat table: level 0 dense (5^3 rows), level 1 hashed
+    assert params["table"].shape == (5 ** 3 + 1024, 2)
+    assert params["table"].shape == (spec.grid.total_rows, spec.grid.level_dim)
     assert params["pose_array"].shape == (4, 6)
     assert params["feature_array"].shape == (4, 2)
     # sdf bias init 0.1 on the whole last sigma layer (ref nerf_helpers.py:272)
