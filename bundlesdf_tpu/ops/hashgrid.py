@@ -55,6 +55,18 @@ class HashGridSpec:
     ray_samples: int = 0
     # optional per-dense-level run budgets; () -> min(S, res) default
     k_runs: tuple = ()
+    # table-gradient scatter engine (ops/scatter.py): "auto" picks the
+    # dense one-hot MXU engine for small levels and the sorted-tile Pallas
+    # engine for big ones; "xla" forces the plain scatter (slow baseline).
+    scatter_method: str = "auto"
+    # static cap on kept (valid) rows in the sorted-tile engine, as a
+    # fraction of the run-budget row count; overflow falls back to the
+    # exact plain scatter inside a lax.cond.
+    scatter_m_cap_frac: float = 0.5
+    # bf16 matmul compute in the scatter engines (f32 accumulate); the
+    # reference accumulates this gradient in fp16 atomics, so this is
+    # more faithful than that. False -> exact f32 (slower, for tests).
+    scatter_bf16: bool = True
 
     @property
     def table_size(self) -> int:
@@ -111,32 +123,50 @@ def init_hashgrid_params(key, spec: HashGridSpec, dtype=jnp.float32):
 _CORNERS = np.array([[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)], np.int32)
 
 
-def _pack_dense_levels(table, spec: HashGridSpec):
-    """Build the packed corner table for dense levels.
+def _pack_dense_level(table, t_off: int, n_rows: int, res: int):
+    """Packed corner table for one dense level.
 
-    For each dense level block (n_rows, C), neighbor corner c lives at a
-    constant flat offset (cx*(S*S) + cy*S + cz), so 8 rolls + concat give a
-    (sum_rows, 8C) table whose row i holds all 8 corner features of voxel
-    base i. Returns (packed_all, dense_level_ids, packed_offsets).
+    In a dense (res+1)^3 block, neighbor corner c lives at a constant flat
+    offset (cx*S*S + cy*S + cz), so 8 rolls + concat give an (n_rows, 8C)
+    table whose row i holds all 8 corner features of voxel base i.
     """
-    packed_blocks, dense_ids, offsets = [], [], []
-    off = 0
-    for l, (res, dense, n_rows, t_off) in enumerate(spec.layout()):
-        if not dense:
-            continue
-        S = res + 1
-        block = jax.lax.dynamic_slice_in_dim(table, t_off, n_rows, axis=0)
-        shifts = [(int(c[0]) * S * S + int(c[1]) * S + int(c[2]))
-                  for c in _CORNERS]
-        packed = jnp.concatenate(
-            [jnp.roll(block, -s, axis=0) for s in shifts], axis=1)
-        packed_blocks.append(packed)
-        dense_ids.append(l)
-        offsets.append(off)
-        off += n_rows
-    if not packed_blocks:
-        return None, [], []
-    return jnp.concatenate(packed_blocks, axis=0), dense_ids, offsets
+    S = res + 1
+    block = jax.lax.slice_in_dim(table, t_off, t_off + n_rows, axis=0)
+    shifts = [(int(c[0]) * S * S + int(c[1]) * S + int(c[2]))
+              for c in _CORNERS]
+    return jnp.concatenate(
+        [jnp.roll(block, -s, axis=0) for s in shifts], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _packed_gather(packed, rows, n_rows: int, method: str, m_cap: int,
+                   t_tile: int, win: int, bf16: bool = True):
+    """Gather packed rows; sentinel rows (== n_rows) return zeros.
+
+    The backward routes the table gradient through ops/scatter.py instead
+    of XLA's row-serialized scatter-add (~100ns/row on v5e).
+    """
+    r = jnp.minimum(rows, n_rows - 1)
+    return packed[r] * (rows < n_rows).astype(packed.dtype)[:, None]
+
+
+def _packed_gather_fwd(packed, rows, n_rows, method, m_cap, t_tile, win,
+                       bf16=True):
+    return (_packed_gather(packed, rows, n_rows, method, m_cap, t_tile, win,
+                           bf16),
+            rows)
+
+
+def _packed_gather_bwd(n_rows, method, m_cap, t_tile, win, bf16, rows, g):
+    from bundlesdf_tpu.ops.scatter import scatter_rows
+
+    d_packed = scatter_rows(g, rows, n_rows, method=method, m_cap=m_cap,
+                            t_tile=t_tile, win=win, bf16=bf16)
+    d_rows = np.zeros(rows.shape, dtype=jax.dtypes.float0)
+    return d_packed, d_rows
+
+
+_packed_gather.defvjp(_packed_gather_fwd, _packed_gather_bwd)
 
 
 def _run_starts(ids):
@@ -146,17 +176,19 @@ def _run_starts(ids):
         [jnp.ones((R, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1)
 
 
-def _dedup_level_features(packed_all, ids, K: int, W: int):
+def _dedup_level_features(packed, ids, K: int, W: int, n_rows: int,
+                          method: str, m_cap_frac: float, bf16: bool):
     """Gather one packed row per voxel run and broadcast back to samples.
 
-    @packed_all: (D, W) packed corner table; @ids: (R, S) absolute packed
-    row ids, z-ordered along each ray; @K: static run budget.
-    Returns (R, S, W) per-sample packed features.
+    @packed: (n_rows, W) packed corner table of ONE dense level; @ids:
+    (R, S) level-local row ids, z-ordered along each ray; @K: static run
+    budget. Returns (R, S, W) per-sample packed features.
 
-    The gather issues R*K rows (vs R*S*8 naive); its autodiff transpose is
-    an R*K-row scatter-add. The run->sample broadcast is a one-hot einsum
-    so BOTH its forward and its transpose are MXU matmuls (take_along_axis
-    here would transpose to a per-ray scatter — two orders slower).
+    The gather issues R*K rows (vs R*S*8 naive); its custom-VJP transpose
+    is an R*K-row smart scatter (ops/scatter.py). The run->sample
+    broadcast is a one-hot einsum so BOTH its forward and its transpose
+    are MXU matmuls (take_along_axis here would transpose to a per-ray
+    scatter — two orders slower).
     """
     R, S = ids.shape
     is_start = _run_starts(ids)
@@ -170,10 +202,13 @@ def _dedup_level_features(packed_all, ids, K: int, W: int):
     valid_k = top_vals >= 0
     pos_k = jnp.where(valid_k, pos_k, 0)
     rows_k = jnp.take_along_axis(ids, pos_k, axis=1)              # (R,K)
-    rows_k = jnp.where(valid_k, rows_k, 0)
+    # sentinel n_rows: empty slots gather zeros and sort out of the
+    # scatter in the backward (they would otherwise pile onto row 0)
+    rows_k = jnp.where(valid_k, rows_k, n_rows)
 
-    got = packed_all[rows_k.reshape(-1)].reshape(R, K, W)
-    got = got * valid_k[..., None]
+    m_cap = -(-int(R * K * m_cap_frac) // 512) * 512
+    got = _packed_gather(packed, rows_k.reshape(-1), n_rows, method,
+                         m_cap, 1024, 512, bf16).reshape(R, K, W)
 
     def broadcast(got, run_id):
         onehot = (run_id[..., None] == jnp.arange(K, dtype=jnp.int32)
@@ -220,29 +255,29 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
     vals = jnp.zeros((N, L, 8, C), jnp.float32)
 
     # ---- dense levels: packed-corner single-row gather ------------------
-    packed_all, dense_ids, packed_offs = _pack_dense_levels(table, spec)
+    dense_ids = [l for l in range(L) if layout[l][1]]
     if dense_ids:
         W = 8 * C
-        idx_list = []
-        for k, l in enumerate(dense_ids):
-            S = int(res_np[l]) + 1
-            b = x0[:, l, :]
-            base = (b[:, 0] * S + b[:, 1]) * S + b[:, 2] + packed_offs[k]
-            idx_list.append(base)
-
         S_ray = spec.ray_samples
-        if ray_mode and S_ray > 0 and N % S_ray == 0:
-            R = N // S_ray
-            feats = []
-            for k, l in enumerate(dense_ids):
+        use_ray = ray_mode and S_ray > 0 and N % S_ray == 0
+        feats = []
+        for l in dense_ids:
+            res, _, n_rows, t_off = layout[l]
+            S = res + 1
+            packed = _pack_dense_level(table, t_off, n_rows, res)
+            b = x0[:, l, :]
+            ids = (b[:, 0] * S + b[:, 1]) * S + b[:, 2]    # (N,) local
+            if use_ray:
+                R = N // S_ray
                 K = min(spec.run_budget(l), S_ray)
-                ids = idx_list[k].reshape(R, S_ray)
-                feats.append(_dedup_level_features(packed_all, ids, K, W))
-            got = jnp.stack(feats, axis=2).reshape(N, len(dense_ids), W)
-        else:
-            idx_dense = jnp.stack(idx_list, axis=1)        # (N, Ld)
-            got = packed_all[idx_dense.reshape(-1)].reshape(
-                N, len(dense_ids), W)
+                f = _dedup_level_features(
+                    packed, ids.reshape(R, S_ray), K, W, n_rows,
+                    spec.scatter_method, spec.scatter_m_cap_frac,
+                    spec.scatter_bf16)
+                feats.append(f.reshape(N, W))
+            else:
+                feats.append(packed[ids])
+        got = jnp.stack(feats, axis=1)                     # (N, Ld, W)
         got = got.reshape(N, len(dense_ids), 8, C).astype(jnp.float32)
         vals = vals.at[:, jnp.asarray(dense_ids)].set(got)
 

@@ -25,7 +25,10 @@ def test_dedup_gradient_matches_autodiff():
                               finest_res=16, log2_hashmap_size=14)
     spec_dedup = HashGridSpec(n_levels=3, level_dim=2, base_res=4,
                               finest_res=16, log2_hashmap_size=14,
-                              ray_samples=n_samples)
+                              ray_samples=n_samples, scatter_bf16=False)
+    spec_bf16 = HashGridSpec(n_levels=3, level_dim=2, base_res=4,
+                             finest_res=16, log2_hashmap_size=14,
+                             ray_samples=n_samples)
     table = init_hashgrid_params(jax.random.PRNGKey(0), spec_plain)
     x = _ray_points(n_samples=n_samples)
     key = jax.random.normal(jax.random.PRNGKey(1),
@@ -47,6 +50,10 @@ def test_dedup_gradient_matches_autodiff():
     g_dedup = jax.grad(loss(spec_dedup, ray_mode=True))(table)
     np.testing.assert_allclose(np.asarray(g_dedup), np.asarray(g_plain),
                                rtol=1e-4, atol=1e-5)
+    # default bf16 scatter compute: f32-accumulated, close but not exact
+    g_bf16 = jax.grad(loss(spec_bf16, ray_mode=True))(table)
+    np.testing.assert_allclose(np.asarray(g_bf16), np.asarray(g_plain),
+                               rtol=3e-2, atol=3e-2)
 
 
 def test_dedup_point_gradient_unaffected():
