@@ -20,7 +20,9 @@ import jax.numpy as jnp
 
 from bundlesdf_tpu.nof.models import NofSpec, nof_forward, pose_array_matrices
 from bundlesdf_tpu.ops.occupancy import OccupancyGrid, ray_trace_occupancy
-from bundlesdf_tpu.ops.sampling import sample_occupied_steps, sample_rays_uniform
+from bundlesdf_tpu.ops.sampling import (draw_occupied_samples,
+                                        occupied_sampler_state,
+                                        sample_rays_uniform)
 
 
 @dataclass(frozen=True)
@@ -84,8 +86,9 @@ def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
     # cap occupied segments at depth+trunc for valid-depth rays (ref :993-1000)
     valid_depth = (depth >= rcfg.near) & (depth <= rcfg.far)
     t_cap = jnp.where(valid_depth, depth + trunc, jnp.inf)
-    z_occ = sample_occupied_steps(k_occ, t0, t1, tr["occ"], rcfg.n_samples,
-                                  perturb=perturb, t_cap=t_cap)
+    sampler = occupied_sampler_state(t0, t1, tr["occ"], t_cap=t_cap)
+    z_occ = draw_occupied_samples(sampler, k_occ, rcfg.n_samples,
+                                  perturb=perturb)
 
     # samples around the measured depth (ref nerf_runner.py:1063-1080)
     if rcfg.n_samples_around_depth > 0:
@@ -94,8 +97,9 @@ def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
         z_depth = sample_rays_uniform(k_depth, near_d, far_d,
                                       rcfg.n_samples_around_depth,
                                       perturb=perturb)
-        # invalid-depth rays fall back to occupancy-guided samples
-        z_inval = sample_occupied_steps(k_depth, t0, t1, tr["occ"],
+        # invalid-depth rays fall back to occupancy-guided samples (the
+        # t_cap clip is inf for them, so sharing the capped state is exact)
+        z_inval = draw_occupied_samples(sampler, k_depth,
                                         rcfg.n_samples_around_depth,
                                         perturb=perturb)
         z_depth = jnp.where(valid_depth[:, None], z_depth, z_inval)

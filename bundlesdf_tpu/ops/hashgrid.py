@@ -192,16 +192,22 @@ def _dedup_level_features(packed, ids, K: int, W: int, n_rows: int,
     """
     R, S = ids.shape
     is_start = _run_starts(ids)
-    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1   # (R,S)
-    run_id = jnp.minimum(run_id, K - 1)
+    run_ord = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1  # (R,S)
+    run_id = jnp.minimum(run_ord, K - 1)
+    k_ids = jnp.arange(K, dtype=jnp.int32)
 
-    # first K run starts, ascending in s (score decreases with s)
-    s_pos = jnp.arange(S, dtype=jnp.int32)[None, :]
-    score = jnp.where(is_start, S - 1 - s_pos, -1)
-    top_vals, pos_k = jax.lax.top_k(score, K)                     # (R,K)
-    valid_k = top_vals >= 0
-    pos_k = jnp.where(valid_k, pos_k, 0)
-    rows_k = jnp.take_along_axis(ids, pos_k, axis=1)              # (R,K)
+    # run k's row id, extracted with a one-hot einsum instead of
+    # top_k + take_along_axis (row-serialized on TPU). Exactly one start
+    # per k (< K) matches (run_ord unclamped excludes overflow runs), and
+    # dense-level ids < 2^22 <= 2^24 are exact in f32.
+    assert n_rows < (1 << 24)
+    st = ((run_ord[..., None] == k_ids) & is_start[..., None])    # (R,S,K)
+    rows_k = jnp.einsum("rsk,rs->rk", st.astype(jnp.float32),
+                        ids.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    rows_k = rows_k.astype(jnp.int32)                             # (R,K)
+    n_runs = jnp.sum(is_start.astype(jnp.int32), axis=1)          # (R,)
+    valid_k = k_ids[None, :] < n_runs[:, None]
     # sentinel n_rows: empty slots gather zeros and sort out of the
     # scatter in the backward (they would otherwise pile onto row 0)
     rows_k = jnp.where(valid_k, rows_k, n_rows)
@@ -252,15 +258,18 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
                   axis=-1)                                 # (N,L,8)
 
     L = spec.n_levels
-    vals = jnp.zeros((N, L, 8, C), jnp.float32)
+    # resolutions grow with level, so dense levels always precede hashed
+    # ones — per-level outputs concatenate in level order
+    dense_ids = [l for l in range(L) if layout[l][1]]
+    hash_ids = [l for l in range(L) if not layout[l][1]]
+    assert dense_ids + hash_ids == list(range(L))
+    outs = []
 
     # ---- dense levels: packed-corner single-row gather ------------------
-    dense_ids = [l for l in range(L) if layout[l][1]]
     if dense_ids:
         W = 8 * C
         S_ray = spec.ray_samples
         use_ray = ray_mode and S_ray > 0 and N % S_ray == 0
-        feats = []
         for l in dense_ids:
             res, _, n_rows, t_off = layout[l]
             S = res + 1
@@ -273,16 +282,13 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
                 f = _dedup_level_features(
                     packed, ids.reshape(R, S_ray), K, W, n_rows,
                     spec.scatter_method, spec.scatter_m_cap_frac,
-                    spec.scatter_bf16)
-                feats.append(f.reshape(N, W))
+                    spec.scatter_bf16).reshape(N, 8, C)
             else:
-                feats.append(packed[ids])
-        got = jnp.stack(feats, axis=1)                     # (N, Ld, W)
-        got = got.reshape(N, len(dense_ids), 8, C).astype(jnp.float32)
-        vals = vals.at[:, jnp.asarray(dense_ids)].set(got)
+                f = packed[ids].reshape(N, 8, C)
+            outs.append(jnp.sum(f.astype(jnp.float32)
+                                * wc[:, l, :, None], axis=1))   # (N,C)
 
     # ---- oversized levels: spatial hash, one flat 8-corner gather --------
-    hash_ids = [l for l in range(L) if not layout[l][1]]
     if hash_ids:
         T = spec.table_size
         corner = x0[:, hash_ids][:, :, None, :] + corners[None, None]
@@ -296,10 +302,11 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
         flat_idx = (idx + level_off).reshape(-1)
         gv = table[flat_idx]
         gv = gv.reshape(N, len(hash_ids), 8, C).astype(jnp.float32)
-        vals = vals.at[:, jnp.asarray(hash_ids)].set(gv)
+        wch = wc[:, jnp.asarray(hash_ids)]                   # (N,Lh,8)
+        hv = jnp.sum(gv * wch[..., None], axis=2)            # (N,Lh,C)
+        outs.extend(hv[:, k] for k in range(len(hash_ids)))
 
-    out = jnp.sum(vals * wc[..., None], axis=2)            # (N,L,C)
-    return out.reshape(N, L * C)
+    return jnp.concatenate(outs, axis=-1)                    # (N, L*C)
 
 
 def hashgrid_encode_np(table, x, spec: HashGridSpec):

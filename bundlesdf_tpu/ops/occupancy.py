@@ -25,15 +25,25 @@ import numpy as np
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class OccupancyGrid:
-    grid: jnp.ndarray  # (res,res,res) bool
-    res: int           # static
+    grid: jnp.ndarray        # (res,res,res) bool — the sampling grid
+    res: int                 # static
+    # trace grid: `grid` dilated one extra voxel. The DDA marcher samples
+    # step MIDPOINTS; with step dt and a point of an occupied voxel V on
+    # the ray, some midpoint lies within dt/2 of it, i.e. within
+    # ceil(dt/2/voxel) voxels of V. With dt <= 2*voxel (worst box crossing
+    # 2*sqrt(3) over n_steps >= res) one extra dilation voxel guarantees
+    # that midpoint is marked occupied — no occupied voxel on a ray is
+    # ever skipped (the reference's exact octree intersection property,
+    # Utils.py:443-475), at the cost of segments conservatively wider by
+    # <= 1 voxel (the reference dilates its octree too).
+    trace: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.grid,), (self.res,)
+        return (self.grid, self.trace), (self.res,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0])
+        return cls(children[0], aux[0], children[1])
 
     @property
     def voxel_size(self) -> float:
@@ -43,32 +53,38 @@ class OccupancyGrid:
 def build_occupancy_grid(pts, res: int, dilate_radius: int = 1) -> OccupancyGrid:
     """Voxelize normalized points into a (res,res,res) bool grid and dilate
     by `dilate_radius` voxels with a 27-neighborhood, matching the reference
-    dilation loop (`nerf_runner.py:449-464`).
+    dilation loop (`nerf_runner.py:449-464`). Also builds the +1-dilated
+    trace grid (see OccupancyGrid.trace).
 
     @pts: (N,3) in [-1,1] (numpy or jnp).
     """
+    from scipy import ndimage
+
     pts = np.asarray(pts)
     coords = np.floor((pts + 1.0) / (2.0 / res)).astype(np.int64)
     coords = np.clip(coords, 0, res - 1)
     grid = np.zeros((res, res, res), bool)
     grid[coords[:, 0], coords[:, 1], coords[:, 2]] = True
+    st = np.ones((3, 3, 3), bool)
     if dilate_radius > 0:
-        from scipy import ndimage
-
         grid = ndimage.binary_dilation(grid, iterations=dilate_radius,
-                                       structure=np.ones((3, 3, 3), bool))
-    return OccupancyGrid(grid=jnp.asarray(grid), res=res)
+                                       structure=st)
+    trace = ndimage.binary_dilation(grid, structure=st)
+    return OccupancyGrid(grid=jnp.asarray(grid), res=res,
+                         trace=jnp.asarray(trace))
 
 
-@jax.jit
-def query_occupancy(grid: OccupancyGrid, pts):
+@functools.partial(jax.jit, static_argnames=("use_trace",))
+def query_occupancy(grid: OccupancyGrid, pts, use_trace: bool = False):
     """True where a normalized point lies in an occupied voxel
-    (replaces OctreeManager.get_center_ids>=0, Utils.py:392-395)."""
+    (replaces OctreeManager.get_center_ids>=0, Utils.py:392-395).
+    @use_trace: query the +1-dilated trace grid instead."""
     res = grid.res
+    g = grid.trace if (use_trace and grid.trace is not None) else grid.grid
     coords = jnp.floor((pts + 1.0) * (res / 2.0)).astype(jnp.int32)
     inside = jnp.all((coords >= 0) & (coords < res), axis=-1)
     coords = jnp.clip(coords, 0, res - 1)
-    occ = grid.grid[coords[..., 0], coords[..., 1], coords[..., 2]]
+    occ = g[coords[..., 0], coords[..., 1], coords[..., 2]]
     return occ & inside
 
 
@@ -103,7 +119,10 @@ def ray_trace_occupancy(grid: OccupancyGrid, rays_o, rays_d, n_steps: int = 256)
     t1 = t0 + dt[:, None]
     tm = 0.5 * (t0 + t1)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * tm[..., None]  # (N,S,3)
-    occ = query_occupancy(grid, pts.reshape(-1, 3)).reshape(N, n_steps)
+    # query the +1-dilated trace grid: midpoint stepping at dt <= 2*voxel
+    # then provably never skips an occupied voxel (see OccupancyGrid.trace)
+    occ = query_occupancy(grid, pts.reshape(-1, 3),
+                          use_trace=True).reshape(N, n_steps)
     occ = occ & box_hit[:, None]
 
     any_occ = jnp.any(occ, axis=-1)

@@ -42,6 +42,67 @@ def sample_rays_uniform(key, near, far, n_samples: int, perturb: bool = True):
     return z
 
 
+def occupied_sampler_state(t0, t1, occ, t_cap=None):
+    """Precompute the per-ray segment tables shared by every draw from the
+    same trace: clipped step starts, cumulative occupied length, total.
+
+    @t0,t1: (N,S) step bounds; @occ: (N,S) bool; @t_cap: optional (N,)
+    upper clamp (depth + trunc, ref nerf_runner.py:992-999).
+    """
+    N = occ.shape[0]
+    if t_cap is not None:
+        # clip segments beyond the cap (reference clamps z_in_out to depth+trunc)
+        t0 = jnp.minimum(t0, t_cap[:, None])
+        t1 = jnp.minimum(t1, t_cap[:, None])
+    seg_len = jnp.where(occ, t1 - t0, 0.0)
+    cum = jnp.cumsum(seg_len, axis=-1)  # (N,S)
+    cum0 = jnp.concatenate([jnp.zeros((N, 1)), cum[:, :-1]], axis=-1)
+    total = cum[:, -1:]
+    return {"t0": t0, "t1": t1, "cum": cum, "cum0": cum0, "total": total,
+            "no_hit": total[:, 0] <= 1e-12}
+
+
+def _stratified_u01(key, N, n_samples: int, perturb: bool):
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+    if not perturb:
+        return jnp.broadcast_to(t, (N, n_samples))
+    mids_hi = jnp.minimum(t + 0.5 / max(n_samples - 1, 1), 1.0)
+    mids_lo = jnp.maximum(t - 0.5 / max(n_samples - 1, 1), 0.0)
+    return mids_lo + (mids_hi - mids_lo) * jax.random.uniform(key, (N, n_samples))
+
+
+def draw_occupied_samples(state, key, n_samples: int, perturb: bool = True):
+    """Draw stratified samples over the occupied length from a sampler state.
+
+    TPU note: instead of searchsorted + take_along_axis (whose autodiff
+    transposes are row-serialized scatters — t0/cum0 carry pose gradients
+    here), the segment lookup is one comparison tensor turned directly
+    into a one-hot that interpolates BOTH tables in a single batched
+    matmul; forward and transpose are dense VPU/MXU work.
+    """
+    t0, cum, cum0 = state["t0"], state["cum"], state["cum0"]
+    N, S = t0.shape
+    u01 = _stratified_u01(key, N, n_samples, perturb)
+    u = u01 * state["total"]
+
+    # cmp[n,q,s] = [u >= cum[s]]: monotone rows, idx = popcount. The
+    # one-hot of clip(idx, 0, S-1) is the backward difference of cmp with
+    # the last slot absorbing idx == S.
+    cmp = (u[..., None] >= cum[..., None, :]).astype(jnp.float32)  # (N,Q,S)
+    prev = jnp.concatenate(
+        [jnp.ones((N, n_samples, 1), jnp.float32), cmp[..., :-1]], axis=-1)
+    onehot = jnp.concatenate(
+        [(prev - cmp)[..., :-1], prev[..., -1:]], axis=-1)
+    tab = jnp.stack([t0, cum0], axis=-1)                           # (N,S,2)
+    got = jnp.einsum("nqs,nsc->nqc", onehot, tab)
+    z = got[..., 0] + (u - got[..., 1])
+
+    # fallback: uniform over the whole step range when nothing occupied
+    z_uniform = state["t0"][:, :1] + u01 * (state["t1"][:, -1:]
+                                            - state["t0"][:, :1])
+    return jnp.where(state["no_hit"][:, None], z_uniform, z)
+
+
 @functools.partial(jax.jit, static_argnames=("n_samples", "perturb"))
 def sample_occupied_steps(key, t0, t1, occ, n_samples: int, perturb: bool = True,
                           t_cap=None):
@@ -51,46 +112,11 @@ def sample_occupied_steps(key, t0, t1, occ, n_samples: int, perturb: bool = True
     concatenate the occupied segments of each ray, draw stratified uniform
     samples on the concatenated length, then map each sample back into its
     segment. Here segments are the uniform DDA steps from
-    `ray_trace_occupancy`, so the map-back is a searchsorted over the
-    cumulative occupied length.
-
-    @t0,t1: (N,S) step bounds; @occ: (N,S) bool; @t_cap: optional (N,) upper
-    clamp (depth + trunc, ref nerf_runner.py:992-999). Rays with no occupied
-    step fall back to the full step range. Returns (N, n_samples) t values.
+    `ray_trace_occupancy`. Rays with no occupied step fall back to the
+    full step range. Returns (N, n_samples) t values.
     """
-    N, S = occ.shape
-    seg_len = (t1 - t0)
-    if t_cap is not None:
-        # clip segments beyond the cap (reference clamps z_in_out to depth+trunc)
-        t0c = jnp.minimum(t0, t_cap[:, None])
-        t1c = jnp.minimum(t1, t_cap[:, None])
-        seg_len = t1c - t0c
-        t0 = t0c
-    seg_len = jnp.where(occ, seg_len, 0.0)
-    total = jnp.sum(seg_len, axis=-1, keepdims=True)  # (N,1)
-    no_hit = total[:, 0] <= 1e-12
-
-    # stratified u in [0, total)
-    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
-    if perturb:
-        mids_hi = jnp.minimum(t + 0.5 / max(n_samples - 1, 1), 1.0)
-        mids_lo = jnp.maximum(t - 0.5 / max(n_samples - 1, 1), 0.0)
-        u01 = mids_lo + (mids_hi - mids_lo) * jax.random.uniform(key, (N, n_samples))
-    else:
-        u01 = jnp.broadcast_to(t, (N, n_samples))
-    u = u01 * total
-
-    cum = jnp.cumsum(seg_len, axis=-1)  # (N,S)
-    cum0 = jnp.concatenate([jnp.zeros((N, 1)), cum[:, :-1]], axis=-1)
-    idx = _rowwise_searchsorted_right(cum, u)
-    idx = jnp.clip(idx, 0, S - 1)
-    base = jnp.take_along_axis(t0, idx, axis=-1)
-    off = u - jnp.take_along_axis(cum0, idx, axis=-1)
-    z = base + off
-
-    # fallback: uniform over the whole step range when nothing occupied
-    z_uniform = t0[:, :1] + u01 * (t1[:, -1:] - t0[:, :1])
-    return jnp.where(no_hit[:, None], z_uniform, z)
+    state = occupied_sampler_state(t0, t1, occ, t_cap=t_cap)
+    return draw_occupied_samples(state, key, n_samples, perturb=perturb)
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "det"))

@@ -76,3 +76,44 @@ def test_sample_pdf_concentrates_mass():
     z = sample_pdf(jax.random.PRNGKey(0), bins, w, 64, det=True)
     frac = jnp.mean(((z >= 0.5) & (z <= 0.6)).astype(jnp.float32))
     assert float(frac) > 0.9
+
+
+def test_trace_never_skips_occupied_voxel():
+    """VERDICT round-1 item: at res=128-scale step sizes the old midpoint
+    DDA could hop over single occupied voxels. With the +1-dilated trace
+    grid, every occupied voxel a ray crosses must overlap a step marked
+    occupied (brute-force fine-walk comparison)."""
+    import numpy as np
+    from bundlesdf_tpu.ops.occupancy import (build_occupancy_grid,
+                                             ray_trace_occupancy)
+
+    rng = np.random.default_rng(0)
+    res = 64
+    # sparse single voxels -> hardest case for midpoint stepping
+    pts = rng.uniform(-0.9, 0.9, (40, 3))
+    grid = build_occupancy_grid(pts, res=res, dilate_radius=0)
+    g_np = np.asarray(grid.grid)
+
+    n_rays, n_steps = 256, 64  # dt up to 2*sqrt(3)/64 ~ 1.7 voxels
+    o = rng.uniform(-0.2, 0.2, (n_rays, 3)).astype(np.float32)
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tr = ray_trace_occupancy(grid, jnp.asarray(o), jnp.asarray(d),
+                             n_steps=n_steps)
+    t0 = np.asarray(tr["t0"]); t1 = np.asarray(tr["t1"])
+    occ = np.asarray(tr["occ"])
+
+    # brute force: fine-walk each ray, find ts inside occupied voxels
+    misses = 0
+    for r in range(n_rays):
+        ts = np.linspace(t0[r, 0], t1[r, -1], 4000)
+        p = o[r] + d[r] * ts[:, None]
+        c = np.floor((p + 1.0) * (res / 2.0)).astype(int)
+        inside = np.all((c >= 0) & (c < res), axis=1)
+        c = np.clip(c, 0, res - 1)
+        hit = g_np[c[:, 0], c[:, 1], c[:, 2]] & inside
+        for t in ts[hit]:
+            # some step marked occupied must contain (or touch) t
+            ok = np.any(occ[r] & (t0[r] <= t + 1e-6) & (t1[r] >= t - 1e-6))
+            misses += 0 if ok else 1
+    assert misses == 0, f"{misses} occupied crossings missed by the trace"
