@@ -118,8 +118,10 @@ def scatter_rows_sorted_tiles(vals, rows, n_rows: int, m_cap: int = 0,
     n_tiles = -(-n_rows // t_tile)
     d_pad = n_tiles * t_tile
 
-    order = jnp.argsort(rows)
-    srows_full = rows[order]
+    # one sort yields both the sorted keys and the permutation (argsort +
+    # rows[order] would re-gather 262k rows the sort already produced)
+    iota = jnp.arange(M, dtype=jnp.int32)
+    srows_full, order = jax.lax.sort((rows, iota), num_keys=1)
     n_valid = jnp.sum((rows < n_rows).astype(jnp.int32))
     overflow = n_valid > m_cap
 
