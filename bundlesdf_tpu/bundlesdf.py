@@ -51,7 +51,18 @@ class BundleSdf:
         self.debug_dir = self.cfg_track["debug_dir"]
         self.SPDLOG = int(self.cfg_track.get("SPDLOG", 1))
         os.makedirs(self.debug_dir, exist_ok=True)
-        self.matcher = matcher if matcher is not None else OrbMatcher()
+        if matcher is not None:
+            self.matcher = matcher
+        else:
+            # LoFTR drives the pipeline when a checkpoint is configured
+            # (ref loftr_wrapper.py + readme.md:30-31); ORB is the
+            # weights-free fallback
+            ckpt = self.cfg_track.get("loftr_ckpt", "")
+            if ckpt and os.path.exists(ckpt):
+                from bundlesdf_tpu.matcher.loftr import LoftrMatcher
+                self.matcher = LoftrMatcher(ckpt_path=ckpt)
+            else:
+                self.matcher = OrbMatcher()
         self.bundler = Bundler(self.cfg_track, self.matcher)
         self.K = None
         self.cnt = -1

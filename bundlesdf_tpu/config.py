@@ -35,6 +35,9 @@ def default_track_config() -> dict:
         "model_dir": "",
         "debug_dir": "/tmp/bundlesdf_tpu",
         "init_pose_dir": "",
+        # path to the pretrained LoFTR outdoor_ds.ckpt (readme.md:30-31);
+        # when set and present, LoFTR drives matching instead of ORB
+        "loftr_ckpt": "",
         "SPDLOG": 1,
         "depth_processing": {
             "zfar": 1.0,

@@ -53,9 +53,15 @@ class LoftrConfig:
 # ---------------------------------------------------------------------------
 
 def _conv(params, x, stride=1):
-    """NHWC conv with HWIO weights + optional fused BN params."""
+    """NHWC conv with HWIO weights + optional fused BN params.
+
+    Padding is torch's symmetric k//2 per side — XLA's SAME pads
+    asymmetrically ((k-1)//2, k//2) for stride>1, which shifts every
+    strided conv's windows by one pixel vs the reference net."""
+    kh, kw = params["w"].shape[:2]
     y = jax.lax.conv_general_dilated(
-        x, params["w"], window_strides=(stride, stride), padding="SAME",
+        x, params["w"], window_strides=(stride, stride),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "bn_scale" in params:
         y = y * params["bn_scale"] + params["bn_bias"]
@@ -254,15 +260,18 @@ def _init_encoder_layer(key, d_model):
 
 
 def _transformer(layers, feat0, feat1, nhead):
-    """Alternating (self, cross) layers (ref transformer.py:90-103)."""
+    """Alternating (self, cross) layers (ref transformer.py:91-98).
+
+    NOTE the reference cross step is SEQUENTIAL: feat1 attends to the
+    ALREADY-UPDATED feat0 (golden-parity fixture caught the parallel
+    variant diverging)."""
     for i, layer in enumerate(layers):
         if i % 2 == 0:  # self
             feat0 = _encoder_layer(layer, feat0, feat0, nhead)
             feat1 = _encoder_layer(layer, feat1, feat1, nhead)
         else:           # cross
-            f0 = _encoder_layer(layer, feat0, feat1, nhead)
-            f1 = _encoder_layer(layer, feat1, feat0, nhead)
-            feat0, feat1 = f0, f1
+            feat0 = _encoder_layer(layer, feat0, feat1, nhead)
+            feat1 = _encoder_layer(layer, feat1, feat0, nhead)
     return feat0, feat1
 
 
@@ -292,13 +301,15 @@ def init_loftr_params(key, cfg: LoftrConfig = LoftrConfig()):
     return params
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def loftr_forward(params, img0, img1, cfg: LoftrConfig = LoftrConfig()):
+@functools.partial(jax.jit, static_argnames=("cfg", "debug"))
+def loftr_forward(params, img0, img1, cfg: LoftrConfig = LoftrConfig(),
+                  debug: bool = False):
     """Match two grayscale images.
 
     @img0/@img1: (H,W) float32 in [0,1], H,W divisible by 8.
     Returns dict with static top-K slots:
       uv0, uv1: (K,2) pixel coords; conf: (K,) (0 = invalid slot).
+    @debug adds the dense coarse confidence matrix (L,S) for parity tests.
     """
     H, W = img0.shape
     hc, wc = H // 8, W // 8
@@ -386,7 +397,10 @@ def loftr_forward(params, img0, img1, cfg: LoftrConfig = LoftrConfig()):
     scale_f = H // hf  # 2
     uv1_f = uv1_c + expect * r * scale_f
 
-    return {"uv0": uv0_c, "uv1": uv1_f, "conf": top_conf * valid}
+    out = {"uv0": uv0_c, "uv1": uv1_f, "conf": top_conf * valid}
+    if debug:
+        out["conf_matrix"] = conf
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -476,8 +490,29 @@ def convert_torch_state_dict(sd, cfg: LoftrConfig = LoftrConfig()):
 # wrapper with the LoftrRunner contract (ref loftr_wrapper.py:19-82)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def loftr_forward_batch(params, imgs0, imgs1, cfg: LoftrConfig = LoftrConfig()):
+    """Match a batch of grayscale pairs in ONE device dispatch.
+
+    The reference batches 64 pairs per forward (loftr_wrapper.py:43-56);
+    per-pair dispatches through the axon tunnel cost 10-35ms EACH, so the
+    whole pair set must ride one program. @imgs0/@imgs1: (B,H,W) in [0,1].
+    Returns dict of (B,K,...) arrays.
+    """
+    return jax.vmap(lambda a, b: loftr_forward(params, a, b, cfg))(
+        imgs0, imgs1)
+
+
 class LoftrMatcher:
-    """predict(rgbAs, rgbBs) -> list of (N,5) [uA,vA,uB,vB,conf]."""
+    """predict(rgbAs, rgbBs) -> list of (N,5) [uA,vA,uB,vB,conf].
+
+    Pairs are stacked and dispatched as ONE batched jitted forward per
+    static bucket size (the reference runs batch-64 GPU inference,
+    loftr_wrapper.py:43-56; per-pair dispatch wastes ~10-35ms of tunnel
+    latency each on the axon setup).
+    """
+
+    BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
     def __init__(self, params=None, ckpt_path=None,
                  cfg: LoftrConfig = LoftrConfig(), seed=0):
@@ -494,25 +529,40 @@ class LoftrMatcher:
         else:
             self.params = init_loftr_params(jax.random.PRNGKey(seed), cfg)
 
-    def predict(self, rgbAs, rgbBs):
+    def _to_gray(self, img):
         import cv2
+        a = np.asarray(img)
+        if a.ndim == 3:
+            a = cv2.cvtColor(a, cv2.COLOR_RGB2GRAY)
+        H = a.shape[0] // 8 * 8
+        W = a.shape[1] // 8 * 8
+        return a[:H, :W].astype(np.float32) / 255.0
+
+    def predict(self, rgbAs, rgbBs):
+        n = len(rgbAs)
+        if n == 0:
+            return []
+        grayA = [self._to_gray(i) for i in rgbAs]
+        grayB = [self._to_gray(i) for i in rgbBs]
         out = []
-        for imgA, imgB in zip(rgbAs, rgbBs):
-            a = np.asarray(imgA)
-            b = np.asarray(imgB)
-            if a.ndim == 3:
-                a = cv2.cvtColor(a, cv2.COLOR_RGB2GRAY)
-            if b.ndim == 3:
-                b = cv2.cvtColor(b, cv2.COLOR_RGB2GRAY)
-            H = a.shape[0] // 8 * 8
-            W = a.shape[1] // 8 * 8
-            a = jnp.asarray(a[:H, :W], jnp.float32) / 255.0
-            b = jnp.asarray(b[:H, :W], jnp.float32) / 255.0
-            res = loftr_forward(self.params, a, b, self.cfg)
+        start = 0
+        while start < n:
+            chunk = min(n - start, self.BUCKETS[-1])
+            bucket = next(b for b in self.BUCKETS if b >= chunk)
+            a = np.zeros((bucket,) + grayA[0].shape, np.float32)
+            b = np.zeros_like(a)
+            for i in range(chunk):
+                a[i] = grayA[start + i]
+                b[i] = grayB[start + i]
+            res = loftr_forward_batch(self.params, jnp.asarray(a),
+                                      jnp.asarray(b), self.cfg)
+            uv0 = np.asarray(res["uv0"])
+            uv1 = np.asarray(res["uv1"])
             conf = np.asarray(res["conf"])
-            keep = conf > 0
-            rows = np.concatenate([np.asarray(res["uv0"])[keep],
-                                   np.asarray(res["uv1"])[keep],
-                                   conf[keep][:, None]], axis=-1)
-            out.append(rows.astype(np.float32))
+            for i in range(chunk):
+                keep = conf[i] > 0
+                rows = np.concatenate([uv0[i][keep], uv1[i][keep],
+                                       conf[i][keep][:, None]], axis=-1)
+                out.append(rows.astype(np.float32))
+            start += chunk
         return out
