@@ -292,8 +292,22 @@ class BundleSdf:
             ready = (self.cnt_nerf >= 0
                      or len(self.kf_to_nerf_list) >= self.start_nerf_keyframes)
             if ready:
+                # a previous batch still in flight must land first (the
+                # reference's nerf loop is also one-batch-at-a-time)
+                self._finish_nerf_batch()
                 self._run_nerf_batch()
-                self._sync_poses_from_nerf()
+
+        # tracker || NOF overlap with the reference's sync_max_delay
+        # semantics (bundlesdf.py:571-599): keep tracking while the NOF
+        # batch trains, but block + sync once the tracker is
+        # sync_max_delay keyframes ahead of the frames the NOF consumed
+        # (0 = strict sync, config.yml:102)
+        if self.nerf is not None and self.nerf.training_in_flight:
+            done = self.nerf.poll_training()
+            behind = len(self.bundler.keyframes) - self.nerf_num_frames
+            max_ahead = int(self.cfg_nerf.get("sync_max_delay", 0))
+            if done or behind >= max_ahead:
+                self._finish_nerf_batch()
 
         self.save_newframe_result(frame)
         if self.gui is not None:
@@ -378,8 +392,15 @@ class BundleSdf:
             self.nerf.add_new_frames(rgbs_p, depths_p, masks_p, normals_p,
                                      poses_all, occ_masks=occ_masks,
                                      new_pcd=pcd_norm, reuse_weights=False)
-        self.nerf.train()
+        self.nerf.start_training()
         self.prev_pcd_real_scale = voxel_downsample(pcd_all, 0.01)
+
+    def _finish_nerf_batch(self):
+        """Block until the in-flight NOF batch completes, then sync the
+        optimized poses back into the keyframe pool."""
+        if self.nerf is not None and self.nerf.training_in_flight:
+            self.nerf.finish_training()
+            self._sync_poses_from_nerf()
 
     def _sync_poses_from_nerf(self):
         """Overwrite keyframe poses with NOF-optimized poses and mark them
@@ -470,11 +491,12 @@ class BundleSdf:
     # ------------------------------------------------------------------
     def on_finish(self):
         """Final NOF flush (ref on_finish bundlesdf.py:324-338)."""
+        self._finish_nerf_batch()
         if self.kf_to_nerf_list and (self.cnt_nerf >= 0 or
                                      len(self.kf_to_nerf_list) >=
                                      self.start_nerf_keyframes):
             self._run_nerf_batch()
-            self._sync_poses_from_nerf()
+            self._finish_nerf_batch()
 
     # ------------------------------------------------------------------
     # offline global refine (ref run_global_nerf bundlesdf.py:636-766)

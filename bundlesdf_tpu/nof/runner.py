@@ -393,6 +393,79 @@ class NofRunner:
         metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs), *all_metrics)
         return jax.tree.map(np.asarray, metrics)
 
+    # -- asynchronous training (tracker || NOF overlap) --------------------
+    # The reference trains the NOF in a child process while the tracker
+    # keeps processing frames, bounded by sync_max_delay
+    # (bundlesdf.py:571-582). Single-process equivalent: JAX dispatch is
+    # async, so chunks are enqueued WITHOUT host syncs and the tracker's
+    # own device work interleaves behind them; interval hooks (which need
+    # host values) are deferred to finish_training().
+
+    def start_training(self, n_steps=None):
+        """Begin an async training batch: dispatch the first chunk and
+        return immediately. Drive with poll_training(); complete with
+        finish_training()."""
+        assert getattr(self, "_async", None) is None, "batch already running"
+        self._async = {"remaining": (self.N_iters if n_steps is None
+                                     else n_steps),
+                       "metrics": [], "start_step": self.global_step}
+        self.poll_training()
+
+    def poll_training(self, max_chunks: int = 2, force: bool = False) -> bool:
+        """Dispatch up to max_chunks further chunks if the device has
+        drained the previous ones; True when all chunks are dispatched and
+        the last one has completed. Never blocks the host unless @force
+        (which enqueues regardless of readiness)."""
+        st = self._async
+        if st is None:
+            return True
+        for _ in range(max_chunks):
+            if st["remaining"] <= 0:
+                break
+            if (not force and st["metrics"]
+                    and not self._chunk_ready(st["metrics"][-1])):
+                break
+            chunk = min(self.scan_chunk, st["remaining"])
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, metrics = train_steps(
+                self.params, self.opt_state, self.rays, self.c2w_array,
+                self.occ_grid, k,
+                jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
+                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters)
+            self.global_step += chunk
+            st["remaining"] -= chunk
+            st["metrics"].append(metrics)
+        return (st["remaining"] <= 0
+                and (not st["metrics"]
+                     or self._chunk_ready(st["metrics"][-1])))
+
+    @staticmethod
+    def _chunk_ready(metrics) -> bool:
+        leaf = jax.tree.leaves(metrics)[0]
+        try:
+            return bool(leaf.is_ready())
+        except AttributeError:  # non-jax leaf / older runtime
+            return True
+
+    def finish_training(self):
+        """Block until the async batch completes; fire the deferred
+        interval hooks; return stacked host metrics."""
+        st = self._async
+        if st is None:
+            return None
+        while st["remaining"] > 0:
+            self.poll_training(max_chunks=10 ** 6, force=True)
+        metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                               *st["metrics"])
+        metrics = jax.tree.map(np.asarray, metrics)  # real host barrier
+        self._async = None
+        self._interval_hooks(st["start_step"], metrics)
+        return metrics
+
+    @property
+    def training_in_flight(self) -> bool:
+        return getattr(self, "_async", None) is not None
+
     def _crossed(self, prev, every):
         return every and every < 10 ** 8 \
             and (prev // every) != (self.global_step // every)
