@@ -1,0 +1,175 @@
+"""End-to-end benchmark on a full-resolution textured synthetic sequence.
+
+The image ships no HO3D/YCBInEOAT data, so this drives the REAL pipeline
+code paths (run_custom.py run_video -> global_refine, the same functions
+the CLI dispatches to) on a 480x640 textured cube-cluster orbit with depth
+noise, written to disk in YCBInEOAT layout and ingested through
+`YcbineoatReader` — then evaluates ADD/ADD-S AUC and mesh Chamfer against
+the analytic ground truth with the same first-frame-align + ICP protocol
+as the reference's `benchmark_ho3d.py:18-139`.
+
+Usage:
+  python benchmark_synthetic.py --out /tmp/synth_bench \
+      [--n_frames 120] [--H 480 --W 640] [--noise 0.002] \
+      [--refine_steps 2000] [--quick]
+
+Writes `<out>/metrics.json` and prints the metrics table; with
+`--report docs/BENCHMARK.md` also appends a markdown row there.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import cv2
+import imageio.v2 as imageio
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+from synthetic import cube_orbit_sequence  # noqa: E402
+
+from bundlesdf_tpu.eval.benchmark import benchmark_video  # noqa: E402
+from bundlesdf_tpu.mesh import Mesh  # noqa: E402
+
+
+# the box cluster rendered by cube_orbit_sequence (tests/synthetic.py)
+def _gt_boxes(s):
+    return [
+        ((0, 0, 0), (s, s, s)),
+        ((s * 0.9, 0, s * 0.9), (s * 0.45, s * 0.45, s * 0.45)),
+        ((-s * 0.8, s * 0.7, 0), (s * 0.35, s * 0.35, s * 0.35)),
+    ]
+
+
+def _box_mesh(center, half):
+    c = np.asarray(center, np.float64)
+    h = np.asarray(half, np.float64)
+    corners = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                        for z in (-1, 1)], np.float64) * h + c
+    faces = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],  # x- x+
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],  # y- y+
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],  # z- z+
+    ], np.int64)
+    return corners, faces
+
+
+def gt_mesh(obj_size=0.08) -> Mesh:
+    verts, faces = [], []
+    off = 0
+    for center, half in _gt_boxes(obj_size):
+        v, f = _box_mesh(center, half)
+        verts.append(v)
+        faces.append(f + off)
+        off += len(v)
+    return Mesh(np.concatenate(verts), np.concatenate(faces))
+
+
+def gt_surface_points(n=40000, obj_size=0.08, seed=0):
+    """Sample the union surface: points on any box's surface that are not
+    strictly inside another box."""
+    m = gt_mesh(obj_size)
+    pts = m.sample_surface(n, seed=seed)
+    keep = np.ones(len(pts), bool)
+    for center, half in _gt_boxes(obj_size):
+        c = np.asarray(center)
+        h = np.asarray(half)
+        inside = (np.abs(pts - c) < h - 1e-6).all(axis=-1)
+        keep &= ~inside
+    return pts[keep]
+
+
+def write_sequence(video_dir, n_frames, H, W, noise, obj_size=0.08):
+    seq = cube_orbit_sequence(n_frames=n_frames, H=H, W=W, radius=0.45,
+                              obj_size=obj_size, noise=noise)
+    for sub in ("rgb", "depth", "masks", "annotated_poses"):
+        os.makedirs(os.path.join(video_dir, sub), exist_ok=True)
+    np.savetxt(os.path.join(video_dir, "cam_K.txt"), seq["K"])
+    for i, id_str in enumerate(seq["id_strs"]):
+        imageio.imwrite(f"{video_dir}/rgb/{id_str}.png", seq["colors"][i])
+        cv2.imwrite(f"{video_dir}/depth/{id_str}.png",
+                    np.round(seq["depths"][i] * 1000).astype(np.uint16))
+        cv2.imwrite(f"{video_dir}/masks/{id_str}.png",
+                    (seq["masks"][i] * 255).astype(np.uint8))
+        np.savetxt(f"{video_dir}/annotated_poses/{id_str}.txt",
+                   np.linalg.inv(seq["cam_in_obs"][i]))
+    return seq
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/synth_bench")
+    ap.add_argument("--n_frames", type=int, default=120)
+    ap.add_argument("--H", type=int, default=480)
+    ap.add_argument("--W", type=int, default=640)
+    ap.add_argument("--noise", type=float, default=0.002)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--refine_steps", type=int, default=2000)
+    ap.add_argument("--quick", action="store_true",
+                    help="small refine config for smoke-level runs")
+    ap.add_argument("--report", default="")
+    ap.add_argument("--skip_run", action="store_true",
+                    help="evaluate existing artifacts only")
+    args = ap.parse_args()
+
+    from bundlesdf_tpu.utils.common import set_logging_format
+    set_logging_format()
+    video_dir = os.path.join(args.out, "video")
+    out_folder = os.path.join(args.out, "run")
+
+    seq = write_sequence(video_dir, args.n_frames, args.H, args.W,
+                         args.noise)
+    t0 = time.perf_counter()
+    if not args.skip_run:
+        from run_custom import run_one_video
+        overrides = {"n_step": args.refine_steps}
+        if args.quick:
+            overrides.update(dict(num_levels=6, finest_res=128,
+                                  N_samples_around_depth=64,
+                                  n_train_image=60, mesh_resolution=0.004))
+        run_one_video(video_dir, out_folder, stride=args.stride,
+                      debug_level=1, refine_overrides=overrides)
+    wall = time.perf_counter() - t0
+
+    gt_poses = np.linalg.inv(seq["cam_in_obs"])[::args.stride]
+    model_pts = gt_surface_points(20000)
+    visible_pts = gt_surface_points(60000, seed=1)
+    mesh_path = os.path.join(out_folder, "textured_mesh.obj")
+    if not os.path.exists(mesh_path):
+        mesh_path = os.path.join(out_folder, "nerf_with_bundletrack_online",
+                                 "mesh_real_world.obj")
+    pred_mesh = Mesh.load(mesh_path) if os.path.exists(mesh_path) else None
+
+    metrics = benchmark_video(out_folder, gt_poses, model_pts,
+                              gt_visible_pts=visible_pts,
+                              pred_mesh=pred_mesh)
+    metrics["wall_s"] = round(wall, 1)
+    metrics["n_frames"] = args.n_frames
+    metrics["resolution"] = f"{args.W}x{args.H}"
+    metrics["depth_noise_m"] = args.noise
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in metrics.items()}, indent=2))
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump({k: float(v) if isinstance(v, (int, float)) else v
+                   for k, v in metrics.items()}, f, indent=2)
+
+    if args.report:
+        hdr = ("| sequence | ADD(cm) | ADD-S(cm) | ADD AUC(%) | "
+               "ADD-S AUC(%) | Chamfer(cm) | wall(s) |\n|---|---|---|---|---|---|---|\n")
+        row = (f"| synth {args.W}x{args.H}x{args.n_frames} "
+               f"noise={args.noise * 1000:.0f}mm | {metrics['ADD(cm)']:.2f} | "
+               f"{metrics['ADDS(cm)']:.2f} | {metrics['ADD_AUC(%)']:.1f} | "
+               f"{metrics['ADDS_AUC(%)']:.1f} | {metrics['chamfer(cm)']:.2f} | "
+               f"{metrics['wall_s']:.0f} |\n")
+        exists = os.path.exists(args.report)
+        with open(args.report, "a") as f:
+            if not exists:
+                f.write("# End-to-end benchmark results\n\n" + hdr)
+            f.write(row)
+
+
+if __name__ == "__main__":
+    main()

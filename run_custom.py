@@ -68,7 +68,7 @@ def make_configs(out_folder, debug_level=2):
 
 
 def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
-                  stride=1, debug_level=2):
+                  stride=1, debug_level=2, refine_overrides=None):
     set_seed(0)
     os.makedirs(out_folder, exist_ok=True)
     cfg_track, cfg_nerf = make_configs(out_folder, debug_level)
@@ -90,11 +90,16 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
         tracker.run(color, depth, reader.K.copy(), reader.id_strs[i],
                     mask=mask, occ_mask=None, pose_in_model=np.eye(4))
     tracker.on_finish()
-    run_one_video_global_nerf(out_folder=out_folder, video_dir=video_dir)
+    run_one_video_global_nerf(out_folder=out_folder, video_dir=video_dir,
+                              refine_overrides=refine_overrides)
 
 
-def run_one_video_global_nerf(out_folder, video_dir=None):
-    """Offline high-quality refine (ref run_custom.py:110-154)."""
+def run_one_video_global_nerf(out_folder, video_dir=None,
+                              refine_overrides=None):
+    """Offline high-quality refine (ref run_custom.py:110-154).
+    @refine_overrides: optional config deltas on top of the reference's
+    hardcoded refine settings (used by benchmark_synthetic.py to bound
+    wall-clock)."""
     set_seed(0)
     cfg_track = load_config(f"{out_folder}/config_bundletrack.yml",
                             default_track_config())
@@ -106,6 +111,8 @@ def run_one_video_global_nerf(out_folder, video_dir=None):
         first_frame_weight=1, down_scale_ratio=1, finest_res=256,
         num_levels=16, mesh_resolution=0.002, n_train_image=500, fs_sdf=0.1,
         frame_features=2, rgb_weight=100))
+    if refine_overrides:
+        cfg_nerf.update(refine_overrides)
     cfg_nerf["datadir"] = f"{out_folder}/nerf_with_bundletrack_online"
     cfg_nerf["save_dir"] = cfg_nerf["datadir"]
     os.makedirs(cfg_nerf["datadir"], exist_ok=True)
