@@ -48,6 +48,10 @@ class RenderConfig:
     # residuals — required at big configs (16 levels x 320 samples OOMs the
     # chip), ~25% step cost at small ones, so the runner enables it by size
     remat: bool = False
+    # bfloat16 MLP/SH compute during training (the reference trains under
+    # torch AMP fp16, nerf_runner.py:159 — bf16 has the same mantissa
+    # budget with f32 exponent range). Outputs and losses stay f32.
+    compute_bf16: bool = True
 
 
 def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
@@ -116,9 +120,11 @@ def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
     pts_w = jnp.einsum("nij,nsj->nsi", tf[:, :3, :3], pts_cam) + tf[:, None, :3, 3]
     valid_samples = jnp.all(jnp.abs(pts_w) <= 1.0, axis=-1)  # (N,S)
 
+    compute_dtype = jnp.bfloat16 if rcfg.compute_bf16 else jnp.float32
+
     def field(p, pw, vd, fid):
         return nof_forward(p, spec, pw, viewdirs=vd, frame_ids=fid,
-                           ray_mode=True)
+                           ray_mode=True, compute_dtype=compute_dtype)
 
     if rcfg.remat:
         field = jax.checkpoint(field)

@@ -134,7 +134,8 @@ class NofRunner:
             n_levels=cfg["num_levels"], level_dim=cfg["feature_grid_dim"],
             base_res=cfg["base_res"], finest_res=cfg["finest_res"],
             log2_hashmap_size=cfg["log2_hashmap_size"],
-            ray_samples=n_samples_total)
+            ray_samples=n_samples_total,
+            table_bf16=bool(cfg.get("amp", True)))
         self.spec = NofSpec(
             grid=grid, sh_degree=cfg["multires_views"],
             frame_features=cfg["frame_features"], n_frames=len(self.images),
@@ -155,7 +156,8 @@ class NofRunner:
             raw_noise_std=cfg["raw_noise_std"],
             n_importance=int(cfg.get("N_importance", 0)),
             n_importance_iter=int(cfg.get("N_importance_iter", 1)),
-            remat=bool(cfg.get("remat", residual_gb > 1.0)))
+            remat=bool(cfg.get("remat", residual_gb > 1.0)),
+            compute_bf16=bool(cfg.get("amp", True)))
         self.lcfg = LossConfig(
             rgb_weight=cfg["rgb_weight"], fs_weight=cfg["fs_weight"],
             empty_weight=cfg["empty_weight"], trunc_weight=cfg["trunc_weight"],

@@ -67,6 +67,11 @@ class HashGridSpec:
     # reference accumulates this gradient in fp16 atomics, so this is
     # more faithful than that. False -> exact f32 (slower, for tests).
     scatter_bf16: bool = True
+    # bf16 packed corner tables: halves pack/gather/scatter bandwidth on
+    # the dense levels (table params and Adam state stay f32). The
+    # reference stores its whole table in fp16 (torch-ngp half path), so
+    # bf16 features are more faithful than that. False -> exact f32.
+    table_bf16: bool = False
 
     @property
     def table_size(self) -> int:
@@ -123,15 +128,24 @@ def init_hashgrid_params(key, spec: HashGridSpec, dtype=jnp.float32):
 _CORNERS = np.array([[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)], np.int32)
 
 
-def _pack_dense_level(table, t_off: int, n_rows: int, res: int):
+def _pack_dense_level(table, t_off: int, n_rows: int, res: int,
+                      bf16: bool = False):
     """Packed corner table for one dense level.
 
     In a dense (res+1)^3 block, neighbor corner c lives at a constant flat
     offset (cx*S*S + cy*S + cz), so 8 rolls + concat give an (n_rows, 8C)
     table whose row i holds all 8 corner features of voxel base i.
+
+    @bf16: pack (and hence gather) in bfloat16 — halves pack/gather/
+    scatter bandwidth. The cotangent accumulates the 8 corner paths in
+    bf16; the reference accumulates its table gradient in fp16 atomics
+    over far more terms (gridencoder.cu:250+), so this stays more
+    faithful than the system being matched.
     """
     S = res + 1
     block = jax.lax.slice_in_dim(table, t_off, t_off + n_rows, axis=0)
+    if bf16:
+        block = block.astype(jnp.bfloat16)
     shifts = [(int(c[0]) * S * S + int(c[1]) * S + int(c[2]))
               for c in _CORNERS]
     return jnp.concatenate(
@@ -152,18 +166,20 @@ def _packed_gather(packed, rows, n_rows: int, method: str, m_cap: int,
 
 def _packed_gather_fwd(packed, rows, n_rows, method, m_cap, t_tile, win,
                        bf16=True):
+    # zero-size slice rides along purely to carry packed's dtype into bwd
     return (_packed_gather(packed, rows, n_rows, method, m_cap, t_tile, win,
                            bf16),
-            rows)
+            (rows, jax.lax.slice_in_dim(packed, 0, 0, axis=0)))
 
 
-def _packed_gather_bwd(n_rows, method, m_cap, t_tile, win, bf16, rows, g):
+def _packed_gather_bwd(n_rows, method, m_cap, t_tile, win, bf16, res, g):
     from bundlesdf_tpu.ops.scatter import scatter_rows
 
+    rows, proto = res
     d_packed = scatter_rows(g, rows, n_rows, method=method, m_cap=m_cap,
                             t_tile=t_tile, win=win, bf16=bf16)
     d_rows = np.zeros(rows.shape, dtype=jax.dtypes.float0)
-    return d_packed, d_rows
+    return d_packed.astype(proto.dtype), d_rows
 
 
 _packed_gather.defvjp(_packed_gather_fwd, _packed_gather_bwd)
@@ -273,7 +289,8 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
         for l in dense_ids:
             res, _, n_rows, t_off = layout[l]
             S = res + 1
-            packed = _pack_dense_level(table, t_off, n_rows, res)
+            packed = _pack_dense_level(table, t_off, n_rows, res,
+                                       bf16=spec.table_bf16)
             b = x0[:, l, :]
             ids = (b[:, 0] * S + b[:, 1]) * S + b[:, 2]    # (N,) local
             if use_ray:
