@@ -180,7 +180,8 @@ def _packed_gather_bwd(n_rows, method, m_cap, t_tile, win, bf16, res, g):
 
     rows, proto = res
     d_packed = scatter_rows(g, rows, n_rows, method=method, m_cap=m_cap,
-                            t_tile=t_tile, win=win, bf16=bf16)
+                            t_tile=t_tile, win=win, bf16=bf16,
+                            out_bf16=proto.dtype == jnp.bfloat16)
     d_rows = np.zeros(rows.shape, dtype=jax.dtypes.float0)
     return d_packed.astype(proto.dtype), d_rows
 
@@ -309,6 +310,10 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
                                 * wc[:, l, :, None], axis=1))   # (N,C)
 
     # ---- oversized levels: spatial hash, one flat 8-corner gather --------
+    # The gather rides the same custom-VJP as the dense path so the table
+    # gradient goes through the sorted-tiles scatter engine instead of
+    # XLA's ~100ns/row scatter — at the 16-level global-refine config the
+    # hash levels are 15.7M scatter rows/step (the dominant refine cost).
     if hash_ids:
         T = spec.table_size
         corner = x0[:, hash_ids][:, :, None, :] + corners[None, None]
@@ -320,7 +325,15 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
         level_off = jnp.asarray([layout[l][3] for l in hash_ids],
                                 jnp.int32)[None, :, None]
         flat_idx = (idx + level_off).reshape(-1)
-        gv = table[flat_idx]
+        hash_rows = sum(layout[l][2] for l in hash_ids)
+        hash_off = layout[hash_ids[0]][3]
+        block = jax.lax.slice_in_dim(table, hash_off, hash_off + hash_rows,
+                                     axis=0)
+        if spec.table_bf16:
+            block = block.astype(jnp.bfloat16)
+        gv = _packed_gather(block, flat_idx - hash_off, hash_rows,
+                            spec.scatter_method, 0, 1024, 512,
+                            spec.scatter_bf16)
         gv = gv.reshape(N, len(hash_ids), 8, C).astype(jnp.float32)
         wch = wc[:, jnp.asarray(hash_ids)]                   # (N,Lh,8)
         hv = jnp.sum(gv * wch[..., None], axis=2)            # (N,Lh,C)

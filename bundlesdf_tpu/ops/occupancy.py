@@ -70,8 +70,10 @@ def build_occupancy_grid(pts, res: int, dilate_radius: int = 1) -> OccupancyGrid
         grid = ndimage.binary_dilation(grid, iterations=dilate_radius,
                                        structure=st)
     trace = ndimage.binary_dilation(grid, structure=st)
+    # the trace grid is stored uint8: the DDA gathers 262k cells per render
+    # and 1-bit packed layouts pay a per-row decode that bytes don't
     return OccupancyGrid(grid=jnp.asarray(grid), res=res,
-                         trace=jnp.asarray(trace))
+                         trace=jnp.asarray(trace, dtype=jnp.uint8))
 
 
 @functools.partial(jax.jit, static_argnames=("use_trace",))
@@ -85,6 +87,8 @@ def query_occupancy(grid: OccupancyGrid, pts, use_trace: bool = False):
     inside = jnp.all((coords >= 0) & (coords < res), axis=-1)
     coords = jnp.clip(coords, 0, res - 1)
     occ = g[coords[..., 0], coords[..., 1], coords[..., 2]]
+    if occ.dtype != jnp.bool_:
+        occ = occ != 0
     return occ & inside
 
 

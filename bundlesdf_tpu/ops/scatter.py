@@ -97,10 +97,11 @@ def _sorted_tiles_kernel(t_tile: int, win: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_rows", "m_cap", "t_tile", "win",
-                                    "bf16", "occ_cap"))
+                                    "bf16", "occ_cap", "out_bf16"))
 def scatter_rows_sorted_tiles(vals, rows, n_rows: int, m_cap: int = 0,
                               t_tile: int = 1024, win: int = 512,
-                              bf16: bool = True, occ_cap: int = 0):
+                              bf16: bool = True, occ_cap: int = 0,
+                              out_bf16: bool = False):
     """Sorted-window tile scatter-add (see module docstring).
 
     @vals: (M, C) float32; @rows: (M,) int32 in [0, n_rows] (n_rows =
@@ -217,10 +218,12 @@ def scatter_rows_sorted_tiles(vals, rows, n_rows: int, m_cap: int = 0,
             # Mosaic is TPU-only; CPU test runs use the interpreter
             interpret=jax.devices()[0].platform != "tpu",
         )(work_tile, ps, pe, srows_p, srows_p, svals_p, svals_p, init)
-        return out_t.T
+        out = out_t.T
+        return out.astype(jnp.bfloat16) if out_bf16 else out
 
     def slow(_):
-        return scatter_rows_xla(vals, rows, n_rows)
+        out = scatter_rows_xla(vals, rows, n_rows)
+        return out.astype(jnp.bfloat16) if out_bf16 else out
 
     return jax.lax.cond(overflow, slow, fast, None)
 
@@ -233,12 +236,18 @@ DENSE_ONEHOT_MAX_ROWS = 8192
 
 def scatter_rows(vals, rows, n_rows: int, method: str = "auto",
                  m_cap: int = 0, t_tile: int = 1024, win: int = 512,
-                 bf16: bool = True):
-    """Dispatch a row scatter-add. method: auto | xla | onehot | tiles."""
+                 bf16: bool = True, out_bf16: bool = False):
+    """Dispatch a row scatter-add. method: auto | xla | onehot | tiles.
+    @out_bf16: emit the result in bfloat16 — accumulation stays f32; the
+    cast happens inside the engines' lax.cond branches so the conditional's
+    structural result copy moves half the bytes."""
     if method == "xla":
-        return scatter_rows_xla(vals, rows, n_rows)
+        out = scatter_rows_xla(vals, rows, n_rows)
+        return out.astype(jnp.bfloat16) if out_bf16 else out
     if method == "onehot" or (method == "auto"
                               and n_rows <= DENSE_ONEHOT_MAX_ROWS):
-        return scatter_rows_dense_onehot(vals, rows, n_rows, bf16=bf16)
+        out = scatter_rows_dense_onehot(vals, rows, n_rows, bf16=bf16)
+        return out.astype(jnp.bfloat16) if out_bf16 else out
     return scatter_rows_sorted_tiles(vals, rows, n_rows, m_cap=m_cap,
-                                     t_tile=t_tile, win=win, bf16=bf16)
+                                     t_tile=t_tile, win=win, bf16=bf16,
+                                     out_bf16=out_bf16)
