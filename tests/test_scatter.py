@@ -33,6 +33,34 @@ def test_dense_onehot_matches_xla():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_out_bf16_parity_both_cond_branches():
+    """out_bf16 must hold in the fast path AND the overflow fallback (the
+    lax.cond branches must agree on the bf16 aval)."""
+    rows, vals = _case(4096, 30000, seed=5)
+    ref = np.asarray(scatter_rows_xla(vals, rows, 30000))
+    fast = scatter_rows_sorted_tiles(vals, rows, 30000, m_cap=0, t_tile=512,
+                                     win=256, out_bf16=True)
+    assert fast.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(fast, np.float32), ref,
+                               rtol=2e-2, atol=2e-2)
+    # m_cap far below the valid count forces the fallback branch
+    slow = scatter_rows_sorted_tiles(vals, rows, 30000, m_cap=256,
+                                     t_tile=512, win=256, out_bf16=True)
+    assert slow.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(slow, np.float32), ref,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_dispatch_out_bf16_all_engines():
+    rows, vals = _case(2048, 1024, seed=6)
+    ref = np.asarray(scatter_rows_xla(vals, rows, 1024))
+    for method in ("xla", "onehot", "tiles"):
+        out = scatter_rows(vals, rows, 1024, method=method, out_bf16=True)
+        assert out.dtype == jnp.bfloat16, method
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.parametrize("D,M", [(5000, 4096), (70000, 8192)])
 def test_sorted_tiles_matches_xla(D, M):
     rows, vals = _case(M, D, seed=2)
