@@ -138,7 +138,8 @@ class NofRunner:
             table_bf16=bool(cfg.get("amp", True)))
         self.spec = NofSpec(
             grid=grid, sh_degree=cfg["multires_views"],
-            frame_features=cfg["frame_features"], n_frames=len(self.images),
+            frame_features=cfg["frame_features"],
+            n_frames=self._frame_bucket(len(self.images)),
             max_trans=cfg["max_trans"] * sc, max_rot_deg=cfg["max_rot"],
             use_viewdirs=bool(cfg["use_viewdirs"]))
         # field-query residuals scale with rays*samples*levels; remat when
@@ -181,9 +182,9 @@ class NofRunner:
             # pose gradients still flow but are multiplied by lr 0
             self.tcfg = TrainConfig(**{**self.tcfg.__dict__, "lrate_pose": 0.0})
         self.opt_state = make_optimizer().init(self.params)
-        self.c2w_array = jnp.asarray(self.poses, jnp.float32)
+        self.c2w_array = self._pad_c2w(self.poses)
 
-        self.rays = self._build_ray_store()
+        self.rays = self._pad_ray_store(self._build_ray_store())
 
     # -- dataset -----------------------------------------------------------
 
@@ -265,6 +266,44 @@ class NofRunner:
         rec = {k: v[hit] for k, v in rec.items()}
         return rec
 
+    # -- shape bucketing: the scanned train program is compiled per input
+    # shape; continual batches grow the ray store and frame count every
+    # hand-off, which would recompile the whole program (~minutes through
+    # the dev tunnel) per batch. Pad both to coarse buckets so one compile
+    # serves every batch in the bucket; sampling draws only real rays.
+    @staticmethod
+    def _ray_bucket(n: int) -> int:
+        b = 1 << 14
+        while b < n:
+            b <<= 1
+        return b
+
+    @staticmethod
+    def _frame_bucket(n: int) -> int:
+        return -(-n // 8) * 8
+
+    def _pad_ray_store(self, rays):
+        n = int(rays["depth"].shape[0])
+        self.n_rays_valid = n
+        cap = self._ray_bucket(n)
+        if cap == n:
+            return {k: jnp.asarray(v) for k, v in rays.items()}
+        # pad with copies of ray 0 (NOT zeros: a zero direction would NaN
+        # under normalization if a sharded path ever samples the padding;
+        # the single-chip sampler is bounded by n_rays_valid and never does)
+        return {k: jnp.concatenate(
+            [jnp.asarray(v),
+             jnp.broadcast_to(jnp.asarray(v)[:1],
+                              (cap - n,) + v.shape[1:])])
+            for k, v in rays.items()}
+
+    def _pad_c2w(self, poses):
+        F_cap = self._frame_bucket(len(poses))
+        c2w = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (F_cap, 4, 4)).copy()
+        c2w[:len(poses)] = np.asarray(poses, np.float32)
+        return jnp.asarray(c2w)
+
     def _build_ray_store(self, frame_range=None):
         if frame_range is None:
             frame_range = range(len(self.images))
@@ -323,7 +362,7 @@ class NofRunner:
             self.occ_masks = np.concatenate([self.occ_masks, occ_masks],
                                             axis=0)
         self.poses = np.asarray(poses, np.float64).copy()
-        self.c2w_array = jnp.asarray(self.poses, jnp.float32)
+        self.c2w_array = self._pad_c2w(self.poses)
 
         if new_pcd is not None:
             from bundlesdf_tpu.scene.bounds import voxel_downsample
@@ -351,8 +390,10 @@ class NofRunner:
 
         new_rays = self._build_ray_store(frame_range=range(prev_n,
                                                            len(self.images)))
-        self.rays = {k: jnp.concatenate([self.rays[k], new_rays[k]], axis=0)
-                     for k in self.rays}
+        real = {k: v[:self.n_rays_valid] for k, v in self.rays.items()}
+        self.rays = self._pad_ray_store(
+            {k: jnp.concatenate([real[k], new_rays[k]], axis=0)
+             for k in real})
 
     # -- training ----------------------------------------------------------
 
@@ -386,7 +427,8 @@ class NofRunner:
                 self.params, self.opt_state, self.rays, self.c2w_array,
                 self.occ_grid, k,
                 jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
-                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters)
+                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters,
+                n_valid=jnp.asarray(self.n_rays_valid, jnp.int32))
             prev_step = self.global_step
             self.global_step += chunk
             remaining -= chunk
@@ -433,7 +475,8 @@ class NofRunner:
                 self.params, self.opt_state, self.rays, self.c2w_array,
                 self.occ_grid, k,
                 jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
-                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters)
+                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters,
+                n_valid=jnp.asarray(self.n_rays_valid, jnp.int32))
             self.global_step += chunk
             st["remaining"] -= chunk
             st["metrics"].append(metrics)
@@ -498,7 +541,7 @@ class NofRunner:
 
     def _save_debug_render(self, save_dir):
         """Rendered-vs-GT color panel for the last training frame."""
-        fid = self.spec.n_frames - 1
+        fid = len(self.images) - 1  # spec.n_frames is a padded bucket
         out, idx = self.render_frame(fid)
         if len(idx) == 0:
             return
@@ -635,7 +678,9 @@ class NofRunner:
         """Warm-start field weights from another runner
         (ref copy_from nerf_runner.py:507-525): shared nets copied, the
         per-frame arrays keep their first len(other) rows."""
-        n_other = other.spec.n_frames
+        # real frame count, not the padded spec bucket; clamp to ours in
+        # case the donor has more frames than this runner
+        n_other = min(len(other.images), len(self.images))
         for k in ("table", "sigma_net", "color_net"):
             if k not in ignore:
                 self.params[k] = other.params[k]

@@ -68,15 +68,19 @@ def lr_factor_at(step, tcfg: TrainConfig, n_iters: int):
 def train_steps(params, opt_state, rays_store, c2w, occ_grid, key,
                 start_step, spec: NofSpec, rcfg: RenderConfig,
                 lcfg: LossConfig, tcfg: TrainConfig, n_steps: int,
-                n_iters: int):
+                n_iters: int, n_valid=None):
     """Run `n_steps` training steps as one on-device scan.
 
-    @rays_store: dict of (R, ...) arrays over ALL training rays.
+    @rays_store: dict of (R, ...) arrays over ALL training rays; R may be
+    a padded bucket — pass the real ray count as @n_valid (traced scalar)
+    so the program compiles once per bucket instead of once per batch.
     @c2w: (F,4,4) normalized GL cam-to-object poses.
     @start_step: scalar int — global step at entry (drives lr/trunc decay).
     Returns (params, opt_state, metrics) with metrics stacked (n_steps,).
     """
     n_rays_total = rays_store["depth"].shape[0]
+    if n_valid is None:
+        n_valid = n_rays_total
     opt = make_optimizer()
 
     def one_step(carry, i):
@@ -84,7 +88,7 @@ def train_steps(params, opt_state, rays_store, c2w, occ_grid, key,
         step = start_step + i
         k = jax.random.fold_in(key, i)
         k_batch, k_render = jax.random.split(k)
-        idx = jax.random.randint(k_batch, (tcfg.n_rand,), 0, n_rays_total)
+        idx = jax.random.randint(k_batch, (tcfg.n_rand,), 0, n_valid)
         batch = jax.tree.map(lambda a: a[idx], rays_store)
 
         trunc = truncation_at(step, tcfg, n_iters)
