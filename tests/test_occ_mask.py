@@ -42,10 +42,11 @@ def test_nof_rays_exclude_occluded():
     r_plain = NofRunner(cfg, rgbs, depths, masks, normals, poses, seq["K"])
     r_occ = NofRunner(cfg, rgbs, depths, masks, normals, poses, seq["K"],
                       occ_masks=occ)
-    n_plain = int(r_plain.rays["depth"].shape[0])
-    n_occ = int(r_occ.rays["depth"].shape[0])
+    # the device store is padded to a shape bucket; compare REAL ray counts
+    n_plain = r_plain.n_rays_valid
+    n_occ = r_occ.n_rays_valid
     assert n_occ < n_plain
     # no surviving ray projects into the occluded half
-    dirs = np.asarray(r_occ.rays["dirs"])
+    dirs = np.asarray(r_occ.rays["dirs"])[:n_occ]
     us = dirs[:, 0] / -dirs[:, 2] * seq["K"][0, 0] + seq["K"][0, 2]
     assert (us >= 31).all()
