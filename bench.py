@@ -1,6 +1,10 @@
-"""Benchmark: NOF training step rate at the reference's online config.
+"""Benchmark: NOF training step rate + online tracking FPS.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints TWO JSON lines {"metric", "value", "unit", "vs_baseline"} — the
+first (NOF steps/s) is the driver-recorded headline; the second is
+steady-state online tracking FPS on a 480x640 synthetic sequence
+(SPDLOG=0, ORB matcher, NOF disabled — isolates the tracker hot path
+against the reference's "near-real-time" ~10 FPS claim, readme.md:8).
 
 The metric is NOF train steps/sec at the reference online workload
 (2048 rays x (64 occupied + 64 depth-guided) samples, 4-level hash grid,
@@ -66,7 +70,44 @@ def main():
         "value": round(steps_per_sec, 2),
         "unit": "steps/s (2048 rays x 192 samples, 4-level grid)",
         "vs_baseline": round(steps_per_sec / 10.0, 2),
-    }))
+    }), flush=True)
+
+    bench_tracking()
+
+
+def bench_tracking(n_frames=40, warmup=10):
+    """Steady-state online tracking FPS (round-2 verdict item 2: the FPS
+    target was the one thing bench.py didn't measure)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic import cube_orbit_sequence
+    from bundlesdf_tpu.bundlesdf import BundleSdf
+    from bundlesdf_tpu.config import default_nerf_config, default_track_config
+
+    seq = cube_orbit_sequence(n_frames=n_frames, H=480, W=640, radius=0.45,
+                              obj_size=0.10, full_angle=1.2)
+    cfg = default_track_config()
+    cfg["SPDLOG"] = 0  # no per-frame artifact dumps in the timed loop
+    cfg["debug_dir"] = "/tmp/bench_tracking"
+    tracker = BundleSdf(cfg_track=cfg, cfg_nerf=default_nerf_config(),
+                        start_nerf_keyframes=10 ** 9)  # NOF off: tracker only
+
+    times = []
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        tracker.run(seq["colors"][i], seq["depths"][i].copy(), seq["K"],
+                    seq["id_strs"][i], mask=seq["masks"][i])
+        times.append(time.perf_counter() - t0)
+    steady = np.asarray(times[warmup:])
+    fps = 1.0 / np.median(steady)
+
+    print(json.dumps({
+        "metric": "tracking_fps",
+        "value": round(float(fps), 2),
+        "unit": "frames/s (480x640, steady-state median, ORB matcher)",
+        # reference "near real-time" ~10 FPS (paper abstract / readme.md:8)
+        "vs_baseline": round(float(fps) / 10.0, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -82,10 +82,17 @@ def gt_surface_points(n=40000, obj_size=0.08, seed=0):
     return pts[keep]
 
 
-def write_sequence(video_dir, n_frames, H, W, noise, obj_size=0.08):
+def write_sequence(video_dir, n_frames, H, W, noise, obj_size=0.08,
+                   protocol="easy"):
     seq = cube_orbit_sequence(n_frames=n_frames, H=H, W=W, radius=0.45,
                               obj_size=obj_size, noise=noise)
-    for sub in ("rgb", "depth", "masks", "annotated_poses"):
+    if protocol == "occluder":
+        from synthetic import add_occluder
+        seq = add_occluder(seq)
+    subs = ["rgb", "depth", "masks", "annotated_poses"]
+    if "occ_masks" in seq:
+        subs.append("masks_hand")
+    for sub in subs:
         os.makedirs(os.path.join(video_dir, sub), exist_ok=True)
     np.savetxt(os.path.join(video_dir, "cam_K.txt"), seq["K"])
     for i, id_str in enumerate(seq["id_strs"]):
@@ -94,9 +101,28 @@ def write_sequence(video_dir, n_frames, H, W, noise, obj_size=0.08):
                     np.round(seq["depths"][i] * 1000).astype(np.uint16))
         cv2.imwrite(f"{video_dir}/masks/{id_str}.png",
                     (seq["masks"][i] * 255).astype(np.uint8))
+        if "occ_masks" in seq:
+            cv2.imwrite(f"{video_dir}/masks_hand/{id_str}.png",
+                        (seq["occ_masks"][i] * 255).astype(np.uint8))
         np.savetxt(f"{video_dir}/annotated_poses/{id_str}.txt",
                    np.linalg.inv(seq["cam_in_obs"][i]))
     return seq
+
+
+def collect_frame_statuses(out_folder, id_strs):
+    """Per-frame status from the run's frame.txt dumps (FAIL cascade +
+    recovery accounting for the occluder protocol)."""
+    statuses = []
+    for id_str in id_strs:
+        p = os.path.join(out_folder, id_str, "frame.txt")
+        status = "MISSING"
+        if os.path.exists(p):
+            with open(p) as f:
+                for line in f:
+                    if line.startswith("status:"):
+                        status = line.split(":", 1)[1].strip()
+        statuses.append(status)
+    return statuses
 
 
 def main():
@@ -106,6 +132,10 @@ def main():
     ap.add_argument("--H", type=int, default=480)
     ap.add_argument("--W", type=int, default=640)
     ap.add_argument("--noise", type=float, default=0.002)
+    ap.add_argument("--protocol", default="easy",
+                    choices=["easy", "occluder"],
+                    help="occluder: moving occluder sweep with occ_masks, "
+                         "forcing FAIL frames + relocalization")
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--refine_steps", type=int, default=2000)
     ap.add_argument("--quick", action="store_true",
@@ -121,7 +151,7 @@ def main():
     out_folder = os.path.join(args.out, "run")
 
     seq = write_sequence(video_dir, args.n_frames, args.H, args.W,
-                         args.noise)
+                         args.noise, protocol=args.protocol)
     t0 = time.perf_counter()
     if not args.skip_run:
         from run_custom import run_one_video
@@ -150,6 +180,32 @@ def main():
     metrics["n_frames"] = args.n_frames
     metrics["resolution"] = f"{args.W}x{args.H}"
     metrics["depth_noise_m"] = args.noise
+    metrics["protocol"] = args.protocol
+    if args.protocol == "occluder":
+        statuses = collect_frame_statuses(out_folder, seq["id_strs"])
+        n_fail = sum(s == "FAIL" for s in statuses)
+        metrics["fail_frames"] = n_fail
+        # recovered = tracking resumed OK after the last FAIL frame
+        last_fail = max((i for i, s in enumerate(statuses) if s == "FAIL"),
+                        default=-1)
+        post = [s for s in statuses[last_fail + 1:]]
+        metrics["recovered"] = bool(last_fail >= 0 and post
+                                    and all(s != "FAIL" for s in post))
+        # pose error over the post-recovery tail (the reference's claim is
+        # re-localization against the keyframe pool, bundlesdf.py:443-465)
+        from bundlesdf_tpu.eval.metrics import add_err
+        try:
+            import glob as _glob
+            pose_files = sorted(_glob.glob(f"{out_folder}/ob_in_cam/*.txt"))
+            pred = np.array([np.loadtxt(f) for f in pose_files])
+            pred = pred @ np.linalg.inv(pred[0]) @ gt_poses[0]
+            tail = slice(last_fail + 1, None)
+            errs = [add_err(p, g, model_pts) for p, g in
+                    zip(pred[tail], gt_poses[tail])]
+            metrics["ADD_post_recovery(cm)"] = float(np.mean(errs) * 100)
+        except Exception as e:  # tail metrics are best-effort
+            metrics["ADD_post_recovery(cm)"] = float("nan")
+            print(f"post-recovery ADD failed: {e}")
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in metrics.items()}, indent=2))
     with open(os.path.join(args.out, "metrics.json"), "w") as f:

@@ -86,8 +86,11 @@ class BundleSdf:
     def make_frame(self, color, depth, K, id_str, mask=None, occ_mask=None,
                    pose_in_model=np.eye(4)):
         self.cnt += 1
+        H, W = np.asarray(color).shape[:2]
+        pool = self.bundler.ensure_pool(H, W)
         return Frame(color, depth, K, self.cnt, id_str, self.cfg_track,
-                     mask=mask, occ_mask=occ_mask, pose_in_model=pose_in_model)
+                     mask=mask, occ_mask=occ_mask, pose_in_model=pose_in_model,
+                     pool=pool)
 
     # ------------------------------------------------------------------
     # find_corres (ref bundlesdf.py:352-387)
@@ -120,23 +123,24 @@ class BundleSdf:
         use_map_points = self.cfg_track["feature_corres"].get("map_points",
                                                               False)
         if use_map_points:
-            raw = [np.concatenate([np.asarray(uv).reshape(-1, uv.shape[1]
-                                                          if len(uv) else 5),
-                                   b.propagate_matches(fA, fB)], axis=0)
-                   if len(b.propagate_matches(fA, fB)) else uv
-                   for (fA, fB), uv in zip(frame_pairs, raw)]
+            merged = []
+            for (fA, fB), uv in zip(frame_pairs, raw):
+                prop = b.propagate_matches(fA, fB)
+                if len(prop):
+                    uv = np.concatenate(
+                        [np.asarray(uv).reshape(-1, uv.shape[1]
+                                                if len(uv) else 5), prop],
+                        axis=0)
+                merged.append(uv)
+            raw = merged
 
         min_match_with_ref = self.cfg_track["feature_corres"]["min_match_with_ref"]
         if is_match_ref and len(raw[0]) < min_match_with_ref:
             b.new_frame.status = FrameStatus.FAIL
             logging.info(f"frame {b.new_frame.id_str} FAIL: no matching")
             return
-        for (fA, fB), uv in zip(frame_pairs, raw):
-            b.raw_matches_to_corres(fA, fB, uv)
-            b.viz_corres_between(fA, fB, "before_ransac")
-        b.run_ransac(frame_pairs)
-        for fA, fB in frame_pairs:
-            b.viz_corres_between(fA, fB, "after_ransac")
+        # fused lift + gate + RANSAC: ONE dispatch + ONE pull for all pairs
+        b.match_pairs(frame_pairs, raw)
         if use_map_points:
             for fA, fB in frame_pairs:
                 b.update_map_points(fA, fB)
@@ -156,7 +160,11 @@ class BundleSdf:
         else:
             b.first_frame = frame
 
-        frame.invalidate_pixels_by_mask(frame.fg_mask)
+        # NOTE: the mask is already applied inside the fused construction
+        # program (Frame.__init__ -> preprocess_into_pool); the reference's
+        # separate invalidatePixelsByMask call (bundlesdf.py:404) is folded
+        # there — re-invalidation only happens when the mask shrinks
+        # (point_cloud_denoise below).
         if frame.id == 0 and np.abs(frame.pose_in_model - np.eye(4)).max() <= 1e-4:
             frame.set_new_init_coordinate()
 

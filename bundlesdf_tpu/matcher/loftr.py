@@ -544,25 +544,34 @@ class LoftrMatcher:
             return []
         grayA = [self._to_gray(i) for i in rgbAs]
         grayB = [self._to_gray(i) for i in rgbBs]
-        out = []
-        start = 0
-        while start < n:
-            chunk = min(n - start, self.BUCKETS[-1])
-            bucket = next(b for b in self.BUCKETS if b >= chunk)
-            a = np.zeros((bucket,) + grayA[0].shape, np.float32)
-            b = np.zeros_like(a)
-            for i in range(chunk):
-                a[i] = grayA[start + i]
-                b[i] = grayB[start + i]
-            res = loftr_forward_batch(self.params, jnp.asarray(a),
-                                      jnp.asarray(b), self.cfg)
-            uv0 = np.asarray(res["uv0"])
-            uv1 = np.asarray(res["uv1"])
-            conf = np.asarray(res["conf"])
-            for i in range(chunk):
-                keep = conf[i] > 0
-                rows = np.concatenate([uv0[i][keep], uv1[i][keep],
-                                       conf[i][keep][:, None]], axis=-1)
-                out.append(rows.astype(np.float32))
-            start += chunk
+        # the bucketed batch requires uniform image size; group pairs by
+        # (H, W) so heterogeneous inputs (supported by the old per-pair
+        # loop) still work — within the pipeline all pairs share the
+        # canonical 400x400 warp, so this is one group in practice
+        by_shape = {}
+        for i in range(n):
+            sh = (grayA[i].shape, grayB[i].shape)
+            by_shape.setdefault(sh, []).append(i)
+        out = [None] * n
+        for ids in by_shape.values():
+            start = 0
+            while start < len(ids):
+                chunk = min(len(ids) - start, self.BUCKETS[-1])
+                bucket = next(b for b in self.BUCKETS if b >= chunk)
+                a = np.zeros((bucket,) + grayA[ids[0]].shape, np.float32)
+                b = np.zeros((bucket,) + grayB[ids[0]].shape, np.float32)
+                for i in range(chunk):
+                    a[i] = grayA[ids[start + i]]
+                    b[i] = grayB[ids[start + i]]
+                res = loftr_forward_batch(self.params, jnp.asarray(a),
+                                          jnp.asarray(b), self.cfg)
+                uv0 = np.asarray(res["uv0"])
+                uv1 = np.asarray(res["uv1"])
+                conf = np.asarray(res["conf"])
+                for i in range(chunk):
+                    keep = conf[i] > 0
+                    rows = np.concatenate([uv0[i][keep], uv1[i][keep],
+                                           conf[i][keep][:, None]], axis=-1)
+                    out[ids[start + i]] = rows.astype(np.float32)
+                start += chunk
         return out

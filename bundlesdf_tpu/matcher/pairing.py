@@ -49,7 +49,7 @@ def process_image_pair(imgA, imgB, roiA, roiB, poseA, poseB, out_size=400,
     RB = np.asarray(poseB)[:3, :3].T
     R_BA = RA @ RB.T
     rvec, _ = cv2.Rodrigues(R_BA)
-    tfB = _rotate_image_transform(H, W, float(rvec[2])) @ tfB
+    tfB = _rotate_image_transform(H, W, float(rvec[2, 0])) @ tfB
 
     corners = np.array([[roiB[0], roiB[2], 1], [roiB[0], roiB[3], 1],
                         [roiB[1], roiB[2], 1], [roiB[1], roiB[3], 1]],

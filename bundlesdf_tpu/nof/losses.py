@@ -99,6 +99,19 @@ def nof_loss(out: dict, rays: dict, params: dict, truncation: float,
         loss = loss + fs_rgb * lcfg.fs_rgb_weight
         metrics["fs_rgb_loss"] = fs_rgb * lcfg.fs_rgb_weight
 
+    if lcfg.eikonal_weight > 0 and "normals" in out:
+        # ref nerf_runner.py:734-738: ((|∇sdf| - 1)^2) over samples with
+        # sdf < 1 (the near-surface band); masked mean over valid samples
+        # (the reference's own path crashes if enabled — see RenderConfig)
+        m = ((out["eik_sdf"] < 1.0) & out["eik_valid"]).astype(jnp.float32)
+        # safe norm: |∇sdf| can be exactly 0 at init (flat field), where
+        # jnp.linalg.norm's VJP is NaN
+        nrm = jnp.sqrt(jnp.sum(out["normals"] ** 2, axis=-1) + 1e-12)
+        eik = (jnp.sum((nrm - 1.0) ** 2 * m) / (jnp.sum(m) + 1e-9)
+               * lcfg.eikonal_weight)
+        loss = loss + eik
+        metrics["eikonal_loss"] = eik
+
     if "feature_array" in params:
         reg = lcfg.feature_reg_weight * jnp.mean(params["feature_array"] ** 2)
         loss = loss + reg

@@ -94,14 +94,33 @@ class NofSpec:
     max_trans: float = 0.02         # already scaled by sc_factor at build time
     max_rot_deg: float = 20.0
     use_viewdirs: bool = True
+    # embedder selection (ref get_embedder nerf_helpers.py:191-214):
+    # positions: 1 = hash grid, 0 = NeRF frequency encoding (multires
+    # freqs), -1 = identity. views: 2 = SH (degree sh_degree), 0 = freq
+    # (sh_degree freqs, matching the reference's multires_views reuse),
+    # -1 = identity.
+    i_embed: int = 1
+    i_embed_views: int = 2
+    multires: int = 8               # freq count for i_embed=0 (config.yml)
 
     @property
     def pos_dim(self) -> int:
-        return self.grid.out_dim
+        if self.i_embed == 1:
+            return self.grid.out_dim
+        if self.i_embed == 0:
+            return 3 + 3 * 2 * self.multires
+        return 3  # identity
 
     @property
     def view_dim(self) -> int:
-        d = self.sh_degree ** 2 if self.use_viewdirs else 0
+        if not self.use_viewdirs:
+            d = 0
+        elif self.i_embed_views == 2:
+            d = self.sh_degree ** 2
+        elif self.i_embed_views == 0:
+            d = 3 + 3 * 2 * self.sh_degree
+        else:
+            d = 3
         return d + self.frame_features
 
 
@@ -139,11 +158,13 @@ def init_nof_params(key, spec: NofSpec, table_dtype=jnp.float32):
         for i in range(spec.num_layers_color)
     ]
     params = {
-        "table": init_hashgrid_params(keys[6], spec.grid, dtype=table_dtype),
         "sigma_net": sigma_net,
         "color_net": color_net,
         "pose_array": jnp.zeros((spec.n_frames, 6), jnp.float32),
     }
+    if spec.i_embed == 1:
+        params["table"] = init_hashgrid_params(keys[6], spec.grid,
+                                               dtype=table_dtype)
     if spec.frame_features > 0:
         params["feature_array"] = jax.random.normal(
             keys[7], (spec.n_frames, spec.frame_features))
@@ -162,6 +183,25 @@ def _mlp(layers, x):
     return x
 
 
+def _embed_pos(params, spec: NofSpec, pts, ray_mode: bool):
+    """Position embedding per spec.i_embed (ref get_embedder i=1/0/-1)."""
+    if spec.i_embed == 1:
+        return hashgrid_encode(params["table"], pts, spec.grid,
+                               ray_mode=ray_mode)
+    if spec.i_embed == 0:
+        return freq_encode(pts, spec.multires)
+    return pts
+
+
+def _embed_views(spec: NofSpec, viewdirs):
+    """View embedding per spec.i_embed_views (ref get_embedder i=2/0/-1)."""
+    if spec.i_embed_views == 2:
+        return sh_encode(viewdirs, spec.sh_degree)
+    if spec.i_embed_views == 0:
+        return freq_encode(viewdirs, spec.sh_degree)
+    return viewdirs
+
+
 def nof_forward(params, spec: NofSpec, pts, viewdirs=None, frame_ids=None,
                 compute_dtype=jnp.float32, ray_mode: bool = False):
     """Full field query. @pts: (N,3) in [-1,1] (normalized object space);
@@ -170,8 +210,7 @@ def nof_forward(params, spec: NofSpec, pts, viewdirs=None, frame_ids=None,
     samples — enables the hash-grid run-dedup fast path.
     Returns (N,4): rgb logits (3) + sdf (1). (ref NeRFSmall.forward +
     run_network embedding assembly nerf_runner.py:1227-1304)."""
-    feats = hashgrid_encode(params["table"], pts, spec.grid,
-                            ray_mode=ray_mode).astype(compute_dtype)
+    feats = _embed_pos(params, spec, pts, ray_mode).astype(compute_dtype)
     h = _mlp(jax.tree.map(lambda a: a.astype(compute_dtype), params["sigma_net"]),
              feats)
     sdf, geo = h[..., :1], h[..., 1:]
@@ -180,7 +219,7 @@ def nof_forward(params, spec: NofSpec, pts, viewdirs=None, frame_ids=None,
     if "feature_array" in params and frame_ids is not None:
         views.append(params["feature_array"][frame_ids].astype(compute_dtype))
     if spec.use_viewdirs and viewdirs is not None:
-        views.append(sh_encode(viewdirs, spec.sh_degree).astype(compute_dtype))
+        views.append(_embed_views(spec, viewdirs).astype(compute_dtype))
     color_in = jnp.concatenate(views + [geo], axis=-1)
     rgb = _mlp(jax.tree.map(lambda a: a.astype(compute_dtype), params["color_net"]),
                color_in)
@@ -190,7 +229,7 @@ def nof_forward(params, spec: NofSpec, pts, viewdirs=None, frame_ids=None,
 def nof_sdf(params, spec: NofSpec, pts, compute_dtype=jnp.float32):
     """SDF-only query (for mesh extraction / eikonal; ref run_network_density
     nerf_runner.py:1307-1347)."""
-    feats = hashgrid_encode(params["table"], pts, spec.grid).astype(compute_dtype)
+    feats = _embed_pos(params, spec, pts, ray_mode=False).astype(compute_dtype)
     h = _mlp(jax.tree.map(lambda a: a.astype(compute_dtype), params["sigma_net"]),
              feats)
     return h[..., 0].astype(jnp.float32)

@@ -18,7 +18,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from bundlesdf_tpu.nof.models import NofSpec, nof_forward, pose_array_matrices
+from bundlesdf_tpu.nof.models import (NofSpec, nof_forward, nof_sdf,
+                                      pose_array_matrices)
 from bundlesdf_tpu.ops.occupancy import OccupancyGrid, ray_trace_occupancy
 from bundlesdf_tpu.ops.sampling import (draw_occupied_samples,
                                         occupied_sampler_state,
@@ -52,6 +53,15 @@ class RenderConfig:
     # torch AMP fp16, nerf_runner.py:159 — bf16 has the same mantissa
     # budget with f32 exponent range). Outputs and losses stay f32.
     compute_bf16: bool = True
+    # emit per-sample SDF spatial gradients ("normals") for the eikonal
+    # loss (ref nerf_runner.py:734-738; the reference path itself crashes
+    # if enabled — train_loop :686 passes get_normals=False so
+    # extras['normals'] never exists — so this implements the intended
+    # semantics). TPU-first: central finite differences of the SDF (6
+    # extra density-only queries) instead of a nested autodiff through the
+    # hash-grid custom VJP.
+    eikonal: bool = False
+    eikonal_eps: float = 1e-3
 
 
 def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
@@ -142,6 +152,26 @@ def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
         return r.reshape(N, s, 4), valid
 
     raw, valid_samples = query(z_vals)
+    normals = eik_sdf = eik_valid = None
+    if rcfg.eikonal:
+        # central-difference SDF gradient at the initial samples (the
+        # reference computes normals only for the first network call,
+        # nerf_runner.py:1086); one batched density query of 6*N*S points
+        eps = rcfg.eikonal_eps
+        p = pts_w.reshape(-1, 3)
+        offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)],
+                               axis=0).astype(p.dtype) * eps  # (6,3)
+        pq = (p[None, :, :] + offs[:, None, :]).reshape(-1, 3)
+        # f32 compute regardless of amp: bf16 quantizes the +/-eps SDF
+        # difference to zero in flat regions, which both destroys the FD
+        # gradient and NaNs the norm's VJP at exactly-zero normals
+        sq = nof_sdf(params, spec, pq, compute_dtype=jnp.float32)
+        sq = sq.reshape(6, -1)
+        normals = ((sq[:3] - sq[3:]) / (2.0 * eps)).T.reshape(N, S, 3)
+        # snapshot the matching sdf/validity: importance sampling below
+        # may extend the per-ray sample axis past the normals' samples
+        eik_sdf = raw[..., 3]
+        eik_valid = valid_samples
     sdf = raw[..., 3]
     if rcfg.raw_noise_std > 0:
         sdf = sdf + jax.random.normal(k_noise, sdf.shape) * rcfg.raw_noise_std
@@ -175,9 +205,17 @@ def render_rays(params, spec: NofSpec, rcfg: RenderConfig, rays: dict,
             rgb_map, weights = raw2outputs(raw[..., :3], sdf, z_vals, depth,
                                            rcfg, valid_samples, trunc=trunc)
 
-    return {"rgb_map": rgb_map, "sdf": sdf, "z_vals": z_vals,
-            "weights": weights, "valid_samples": valid_samples, "tf": tf,
-            "raw_rgb": raw[..., :3]}
+    out = {"rgb_map": rgb_map, "sdf": sdf, "z_vals": z_vals,
+           "weights": weights, "valid_samples": valid_samples, "tf": tf,
+           "raw_rgb": raw[..., :3],
+           # sample positions of the INITIAL query (ray_samples per ray;
+           # free — already computed) for run-budget overflow telemetry
+           "pts_w": pts_w}
+    if normals is not None:
+        out["normals"] = normals
+        out["eik_sdf"] = eik_sdf
+        out["eik_valid"] = eik_valid
+    return out
 
 
 def raw2outputs(rgb_logits, sdf, z_vals, depth, rcfg: RenderConfig,

@@ -141,7 +141,10 @@ class NofRunner:
             frame_features=cfg["frame_features"],
             n_frames=self._frame_bucket(len(self.images)),
             max_trans=cfg["max_trans"] * sc, max_rot_deg=cfg["max_rot"],
-            use_viewdirs=bool(cfg["use_viewdirs"]))
+            use_viewdirs=bool(cfg["use_viewdirs"]),
+            i_embed=int(cfg.get("i_embed", 1)),
+            i_embed_views=int(cfg.get("i_embed_views", 2)),
+            multires=int(cfg.get("multires", 8)))
         # field-query residuals scale with rays*samples*levels; remat when
         # they would threaten HBM (the 16-level global-refine config OOMs
         # without it)
@@ -158,7 +161,8 @@ class NofRunner:
             n_importance=int(cfg.get("N_importance", 0)),
             n_importance_iter=int(cfg.get("N_importance_iter", 1)),
             remat=bool(cfg.get("remat", residual_gb > 1.0)),
-            compute_bf16=bool(cfg.get("amp", True)))
+            compute_bf16=bool(cfg.get("amp", True)),
+            eikonal=float(cfg["eikonal_weight"]) > 0)
         self.lcfg = LossConfig(
             rgb_weight=cfg["rgb_weight"], fs_weight=cfg["fs_weight"],
             empty_weight=cfg["empty_weight"], trunc_weight=cfg["trunc_weight"],
@@ -371,14 +375,18 @@ class NofRunner:
             self.occ_grid = self._build_occupancy()
 
         old_params = self.params
+        # n_frames is a padded bucket (static jit arg): only re-spec when a
+        # bucket boundary is crossed so continual hand-offs reuse compiles
         self.spec = NofSpec(**{**self.spec.__dict__,
-                               "n_frames": len(self.images)})
+                               "n_frames": self._frame_bucket(
+                                   len(self.images))})
         self.key, k_init = jax.random.split(self.key)
         self.params = init_nof_params(k_init, self.spec)
         if reuse_weights:
             # keep field weights; per-frame arrays restart except carried-over
             # feature rows (ref nerf_runner.py:385-397; delta poses are new)
-            self.params["table"] = old_params["table"]
+            if "table" in old_params:
+                self.params["table"] = old_params["table"]
             self.params["sigma_net"] = old_params["sigma_net"]
             self.params["color_net"] = old_params["color_net"]
             if "feature_array" in old_params:
@@ -523,6 +531,7 @@ class NofRunner:
                      for k, v in metrics.items()}
             logging.info(f"Iter {self.global_step}: " + ", ".join(
                 f"{k}: {v:.5f}" for k, v in sorted(means.items())))
+            self._check_run_budget()
         if self._crossed(prev_step, cfg.get("i_weights", 0)) and save_dir:
             self.save_weights(os.path.join(save_dir, "model_latest.npz"))
         if self._crossed(prev_step, cfg.get("i_img", 0)) and save_dir:
@@ -538,6 +547,35 @@ class NofRunner:
             np.savetxt(os.path.join(
                 save_dir, f"step_{self.global_step:07d}_optimized_poses.txt"),
                 poses.reshape(-1, 4))
+
+    # overflow fraction above which the k_runs clamp is reported (the
+    # measured online workload sits at ~1%; docs/PERF.md)
+    RUN_BUDGET_WARN_FRAC = 0.02
+
+    def _check_run_budget(self, n_rays=256):
+        """Run-budget overflow telemetry (round-2 verdict: the k_runs
+        clamp was a silent quality dial). Samples a training-like ray
+        batch, measures the per-dense-level fraction of rays whose voxel
+        runs exceed the budget, and warns when it exceeds the measured
+        ~1% envelope so unusual configs aren't silently degraded."""
+        if self.spec.i_embed != 1 or self.spec.grid.ray_samples == 0:
+            return None
+        from bundlesdf_tpu.ops.hashgrid import run_overflow_fractions
+        self.key, k = jax.random.split(self.key)
+        idx = jax.random.randint(k, (n_rays,), 0, self.n_rays_valid)
+        batch = jax.tree.map(lambda a: a[idx], self.rays)
+        out = render_rays(self.params, self.spec, self.rcfg, batch,
+                          self.c2w_array, self.occ_grid, k, perturb=True)
+        fracs = np.asarray(run_overflow_fractions(
+            out["pts_w"].reshape(-1, 3), self.spec.grid))
+        if len(fracs) and fracs.max() > self.RUN_BUDGET_WARN_FRAC:
+            logging.warning(
+                "hash-grid run budget exceeded: per-dense-level overflow "
+                f"fractions {np.round(fracs, 4).tolist()} (> "
+                f"{self.RUN_BUDGET_WARN_FRAC}); rays past the k_runs budget "
+                "reuse the last run's features — raise grid k_runs for "
+                "this workload")
+        return fracs
 
     def _save_debug_render(self, save_dir):
         """Rendered-vs-GT color panel for the last training frame."""
@@ -567,8 +605,10 @@ class NofRunner:
         pairs by nearest pixel (ref make_key_ray_ids)."""
         fx, fy = self.K[0, 0], self.K[1, 1]
         cx, cy = self.K[0, 2], self.K[1, 2]
-        dirs = np.asarray(self.rays["dirs"])
-        fids = np.asarray(self.rays["frame_id"])
+        # slice off padding (copies of ray 0): padded rows carry frame 0's
+        # id, so frame-0 queries would otherwise bind matches to padding
+        dirs = np.asarray(self.rays["dirs"])[:self.n_rays_valid]
+        fids = np.asarray(self.rays["frame_id"])[:self.n_rays_valid]
         # GL dirs -> pixel coords (ref dirs_to_uvs)
         us = dirs[:, 0] / -dirs[:, 2] * fx + cx
         vs = -dirs[:, 1] / -dirs[:, 2] * fy + cy
@@ -682,7 +722,7 @@ class NofRunner:
         # case the donor has more frames than this runner
         n_other = min(len(other.images), len(self.images))
         for k in ("table", "sigma_net", "color_net"):
-            if k not in ignore:
+            if k not in ignore and k in other.params:
                 self.params[k] = other.params[k]
         for k in ("pose_array", "feature_array"):
             if k in self.params and k in other.params and k not in ignore:
@@ -768,7 +808,8 @@ class NofRunner:
     def render_frame(self, frame_id, max_rays=2 ** 16):
         """Render all rays of one training frame (debug/eval; ref
         render_images nerf_runner.py:586-640). Returns dict of host arrays."""
-        fid_all = np.asarray(self.rays["frame_id"])
+        # padding rows duplicate ray 0 (frame 0) — exclude them
+        fid_all = np.asarray(self.rays["frame_id"])[:self.n_rays_valid]
         idx = np.nonzero(fid_all == frame_id)[0]
         outs = {"rgb_map": [], "depth_pred": []}
         for s in range(0, len(idx), max_rays):

@@ -9,10 +9,15 @@ reference configs: online 4 levels 16->128 res, 2^22 table, 2 ch/level
 Design notes (TPU-first; v5e measurements in docs/PERF.md):
   - The parameter is ONE flat (rows, C) array with exact per-level
     allocation: dense (collision-free) levels get exactly (res+1)^3 rows,
-    oversized levels get 2^log2_hashmap_size hashed rows (same prime
-    constants as the reference so ported weights stay valid). No padding
-    to a uniform (L, T, C) block — that wasted 14x optimizer traffic and
-    backward zero-fills at the online config.
+    oversized levels get 2^log2_hashmap_size hashed rows. The hash uses
+    the same prime constants as the reference (same collision
+    distribution), but the flat LAYOUT is intentionally different: the
+    reference rounds each level's row count up to a multiple of 8
+    (grid.py:130) and derives per-level resolution as ceil(2^(l*s)*H-1)+1
+    with a +0.5 grid offset (gridencoder.cu:155-165), so raw reference
+    embedding tables are NOT drop-in; checkpoints are native to this
+    encoder. No padding to a uniform (L, T, C) block — that wasted 14x
+    optimizer traffic and backward zero-fills at the online config.
   - XLA gather is ~12-22ns/row and scatter-add ~100ns/row on v5e
     REGARDLESS of row width, so row count is everything. Dense levels
     pack each voxel's 8 corner features into one 8C-wide row (8 cheap
@@ -340,6 +345,37 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
         outs.extend(hv[:, k] for k in range(len(hash_ids)))
 
     return jnp.concatenate(outs, axis=-1)                    # (N, L*C)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def run_overflow_fractions(x, spec: HashGridSpec):
+    """Per-dense-level fraction of rays whose voxel-run count exceeds the
+    k_runs budget (telemetry for the silent quality dial: runs >= K reuse
+    run K-1's features — exactness guarantee mirrored from
+    mycuda/common.cu:66-93's printf-and-hang consistency check).
+
+    @x: (R * spec.ray_samples, 3) z-ordered ray samples in [-1, 1].
+    Returns (n_dense_levels,) float32 overflow fractions (level order).
+    """
+    layout = spec.layout()
+    S_ray = spec.ray_samples
+    assert S_ray > 0 and x.shape[0] % S_ray == 0
+    R = x.shape[0] // S_ray
+    x01 = jnp.clip((x.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+    fracs = []
+    for l, (res, dense, _, _) in enumerate(layout):
+        if not dense:
+            continue
+        xl = x01 * res
+        x0 = jnp.clip(jnp.floor(xl).astype(jnp.int32), 0, res - 1)
+        S = res + 1
+        ids = ((x0[:, 0] * S + x0[:, 1]) * S + x0[:, 2]).reshape(R, S_ray)
+        n_runs = jnp.sum(_run_starts(ids).astype(jnp.int32), axis=1)
+        K = min(spec.run_budget(l), S_ray)
+        fracs.append(jnp.mean((n_runs > K).astype(jnp.float32)))
+    if not fracs:
+        return jnp.zeros((0,), jnp.float32)
+    return jnp.stack(fracs)
 
 
 def hashgrid_encode_np(table, x, spec: HashGridSpec):

@@ -121,7 +121,8 @@ def scatter_rows_sorted_tiles(vals, rows, n_rows: int, m_cap: int = 0,
     if m_cap <= 0 or m_cap > M:
         m_cap = M
     m_cap = -(-m_cap // win) * win
-    m_cap = min(m_cap, -(-M // win) * win)
+    m_pad = -(-M // win) * win  # sorted arrays are padded to this length
+    m_cap = min(m_cap, m_pad)
     n_tiles = -(-n_rows // t_tile)
     d_pad = n_tiles * t_tile
     if occ_cap <= 0:
@@ -133,6 +134,13 @@ def scatter_rows_sorted_tiles(vals, rows, n_rows: int, m_cap: int = 0,
     iota = jnp.arange(M, dtype=jnp.int32)
     srows_full, order = jax.lax.sort((rows, iota), num_keys=1)
     n_valid = jnp.sum((rows < n_rows).astype(jnp.int32))
+    if m_pad > M:
+        # M not a multiple of win: pad with parked sentinel rows (they sit
+        # past n_valid, so the pos<n_valid mask parks them off every tile)
+        srows_full = jnp.concatenate(
+            [srows_full, jnp.full((m_pad - M,), d_pad, jnp.int32)])
+        order = jnp.concatenate(
+            [order, jnp.zeros((m_pad - M,), jnp.int32)])
 
     srows = jax.lax.slice_in_dim(srows_full, 0, m_cap)
     svals = vals[jax.lax.slice_in_dim(order, 0, m_cap)]

@@ -9,7 +9,6 @@ batched jitted kernels.
 """
 from __future__ import annotations
 
-import functools
 import logging
 import os
 
@@ -18,8 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 from bundlesdf_tpu.tracker.ba import BAConfig, bundle_adjust, downsample_maps
 from bundlesdf_tpu.tracker.frame import Frame, FrameStatus
-from bundlesdf_tpu.tracker.ransac import ransac_pose
-from bundlesdf_tpu.utils.se3 import kabsch, rot_geodesic_ignore_cam_z
+from bundlesdf_tpu.tracker.pool import (FramePool, covis_slots, gather_slots,
+                                        lift_ransac_slots)
+from bundlesdf_tpu.utils.se3 import kabsch_np, rot_geodesic_ignore_cam_z_np
 
 
 def _pad_to(arr, n, fill=0.0):
@@ -32,46 +32,6 @@ def _pad_to(arr, n, fill=0.0):
 
 def _round_up(n, base=256):
     return max(base, -(-n // base) * base)
-
-
-@jax.jit
-def _lift_uv(xyz, nrm, uv, valid):
-    """Gather 3D points/normals for pixel matches on device (replaces the
-    host-side map reads; map pulls over the TPU tunnel cost seconds)."""
-    u = uv[:, 0]
-    v = uv[:, 1]
-    p = xyz[v, u]
-    n = nrm[v, u]
-    ok = valid & (p[:, 2] > 0.1)
-    return p, n, ok
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _kabsch_masked(src, dst, w):
-    return kabsch(src, dst, weights=w)
-
-
-@jax.jit
-def _covis_many(xyz, nrm, valid, A_in_Bs, thres_cos):
-    """Covisibility of one frame against many keyframe transforms in one
-    dispatch (ref Frame.h:122-165). @A_in_Bs: (K,4,4)."""
-    pts = xyz[::2, ::2].reshape(-1, 3)
-    nr = nrm[::2, ::2].reshape(-1, 3)
-    ok = valid[::2, ::2].reshape(-1) & (jnp.linalg.norm(nr, axis=-1) > 1e-6)
-
-    def one(T):
-        p = pts @ T[:3, :3].T + T[:3, 3]
-        n = nr @ T[:3, :3].T
-        p_hat = -p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True),
-                                 1e-12)
-        n_hat = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
-                                1e-12)
-        dot = jnp.sum(p_hat * n_hat, axis=-1)
-        vis = jnp.sum((dot > thres_cos) & ok)
-        return vis.astype(jnp.float32) / (jnp.sum(ok).astype(jnp.float32)
-                                          + 1e-7)
-
-    return jax.vmap(one)(A_in_Bs)
 
 
 class Bundler:
@@ -101,79 +61,167 @@ class Bundler:
         self._map_points: dict[int, dict] = {}
         self._rng = np.random.default_rng(0)
         self._key = jax.random.PRNGKey(0)
+        # device-resident frame-map pool; created at first frame (needs H,W)
+        self.pool: FramePool | None = None
 
     # ------------------------------------------------------------------
-    # covisibility (ref Frame.h:122-165 via ops kernel)
+    # frame-map pool
+    # ------------------------------------------------------------------
+    def ensure_pool(self, H: int, W: int) -> FramePool:
+        if self.pool is None:
+            self.pool = FramePool(H, W)
+        return self.pool
+
+    def _slot(self, frame: Frame) -> int:
+        """Pool slot of a frame; frames constructed standalone (tests /
+        legacy callers) are adopted into the pool on first touch."""
+        if frame.pooled:
+            return frame.slot
+        pool = self.ensure_pool(frame.H, frame.W)
+        valid = (frame.depth_dev > 0.1) & (jnp.asarray(frame.fg_mask) > 0)
+        frame.slot = pool.insert_maps(frame.id, frame.depth_dev,
+                                      frame.xyz_dev, frame.normal_dev, valid)
+        frame.pool = pool
+        frame.depth_dev = frame.xyz_dev = frame.normal_dev = None
+        return frame.slot
+
+    # ------------------------------------------------------------------
+    # covisibility (ref Frame.h:122-165 via the pool kernel)
     # ------------------------------------------------------------------
     def covisibility(self, fA: Frame, fB: Frame) -> float:
         return self.covisibility_many(fA, [fB])[0]
 
     def covisibility_many(self, fA: Frame, fBs: list) -> np.ndarray:
-        """Covisibility of fA against many frames in ONE device dispatch
-        (per-call tunnel latency dominates otherwise). The transform batch
-        is padded to a multiple of 8 so the kernel compiles once per
-        bucket, not per keyframe count."""
-        K = -(-max(len(fBs), 1) // 8) * 8
-        Ts = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-        for i, fB in enumerate(fBs):
+        """Covisibility of fA against many frames in ONE device dispatch."""
+        return self.covisibility_pairs([(fA, fB) for fB in fBs])
+
+    def covisibility_pairs(self, pairs: list) -> np.ndarray:
+        """Covisibility for arbitrary (fA, fB) items in ONE dispatch
+        (sources may differ — this batches every covisibility call site of
+        a frame's pipeline). Padded to a multiple of 8 so the kernel
+        compiles once per bucket."""
+        if not pairs:
+            return np.zeros((0,), np.float32)
+        P = -(-len(pairs) // 8) * 8
+        slots = np.zeros(P, np.int32)
+        Ts = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        for i, (fA, fB) in enumerate(pairs):
+            slots[i] = self._slot(fA)
             Ts[i] = (np.linalg.inv(fB.pose_in_model)
                      @ fA.pose_in_model).astype(np.float32)
-        valid = (fA.depth_dev > 0.1) & (jnp.asarray(fA.fg_mask) > 0)
+        pool = self.pool
         thres = float(np.cos(np.deg2rad(self.cfg["visible_angle"])))
-        out = np.asarray(_covis_many(fA.xyz_dev, fA.normal_dev, valid,
-                                     jnp.asarray(Ts), thres))
-        return out[:len(fBs)]
+        out = np.asarray(covis_slots(pool.xyzs, pool.nrms, pool.valids,
+                                     jnp.asarray(slots), jnp.asarray(Ts),
+                                     thres))
+        return out[:len(pairs)]
 
     # ------------------------------------------------------------------
-    # correspondence construction (ref rawMatchesToCorres + makeCorrespondence
-    # FeatureManager.cpp:1545-1584, 2720-2769)
+    # correspondence construction + RANSAC, fused (ref rawMatchesToCorres
+    # FeatureManager.cpp:2720-2769 + runRansacMultiPairGPU :1587-1713 +
+    # cuda_ransac.cu). Round-3: lifting, 3D gating, model-frame transform
+    # and multi-pair RANSAC run as ONE jitted program over pool slots with
+    # ONE host pull — the round-2 design paid 2 dispatches + 5 pulls per
+    # pair for lifting plus per-chunk RANSAC dispatches.
     # ------------------------------------------------------------------
-    def raw_matches_to_corres(self, fA: Frame, fB: Frame, uv):
-        """@uv: (N,>=4) [uA,vA,uB,vB(,conf)] full-resolution pixel matches.
-        Lifts to 3D with validity gating (device gather; only the small
-        match arrays cross to host); stores the match table."""
-        key = (fA.id, fB.id)
-        if uv is None or len(uv) == 0:
-            self.matches[key] = None
-            return
-        uv = np.asarray(uv)
-        uA = np.round(uv[:, 0]).astype(np.int32)
-        vA = np.round(uv[:, 1]).astype(np.int32)
-        uB = np.round(uv[:, 2]).astype(np.int32)
-        vB = np.round(uv[:, 3]).astype(np.int32)
-        conf = (uv[:, 4] if uv.shape[1] > 4
-                else np.ones(len(uv))).astype(np.float32)
-        inb = ((uA >= 0) & (uA < fA.W) & (vA >= 0) & (vA < fA.H)
-               & (uB >= 0) & (uB < fB.W) & (vB >= 0) & (vB < fB.H))
-        if len(uv) > self.MATCH_CAP:  # keep the most confident
-            order = np.argsort(-conf)[:self.MATCH_CAP]
-            uv = uv[order]
-            uA, vA, uB, vB = uA[order], vA[order], uB[order], vB[order]
-            conf, inb = conf[order], inb[order]
+    def match_pairs(self, frame_pairs, raw_uvs, viz=True):
+        """@frame_pairs: [(fA, fB)]; @raw_uvs: per-pair (N,>=4) arrays of
+        [uA,vA,uB,vB(,conf)] full-res pixel matches (or None). Populates
+        self.matches with post-RANSAC inlier matches; pairs below
+        min_match_after_ransac are cleared (None)."""
+        cfg = self.cfg["ransac"]
         M = self.MATCH_CAP
-        uvA_p = _pad_to(np.stack([uA, vA], -1), M).astype(np.int32)
-        uvB_p = _pad_to(np.stack([uB, vB], -1), M).astype(np.int32)
-        valid_p = jnp.asarray(_pad_to(inb, M, False))
-        pA, nA, okA = _lift_uv(fA.xyz_dev, fA.normal_dev,
-                               jnp.asarray(np.clip(uvA_p, 0,
-                                                   [fA.W - 1, fA.H - 1])),
-                               valid_p)
-        pB, nB, okB = _lift_uv(fB.xyz_dev, fB.normal_dev,
-                               jnp.asarray(np.clip(uvB_p, 0,
-                                                   [fB.W - 1, fB.H - 1])),
-                               valid_p)
-        ok = np.asarray(okA & okB)
-        pA = np.asarray(pA)[ok]
-        pB = np.asarray(pB)[ok]
-        nA = np.asarray(nA)[ok]
-        nB = np.asarray(nB)[ok]
-        keep = ok[:len(uv)]
-        self.matches[key] = {
-            "uvA": np.stack([uA, vA], -1)[keep],
-            "uvB": np.stack([uB, vB], -1)[keep],
-            "pA_cam": pA, "pB_cam": pB, "nA_cam": nA, "nB_cam": nB,
-            "conf": conf[keep],
-        }
+        live = []
+        for (fA, fB), uv in zip(frame_pairs, raw_uvs):
+            if uv is None or len(uv) == 0:
+                self.matches[(fA.id, fB.id)] = None
+                continue
+            live.append((fA, fB, np.asarray(uv)))
+        if not live:
+            return
+
+        P = -(-len(live) // self.PAIR_CHUNK) * self.PAIR_CHUNK
+        slots_a = np.zeros(P, np.int32)
+        slots_b = np.zeros(P, np.int32)
+        uvA = np.zeros((P, M, 2), np.int32)
+        uvB = np.zeros((P, M, 2), np.int32)
+        conf = np.zeros((P, M), np.float32)
+        valid = np.zeros((P, M), bool)
+        TA = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        TB = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        caps = np.full((P, 2), np.inf, np.float32)
+        hostm = []
+        for i, (fA, fB, uv) in enumerate(live):
+            uA = np.round(uv[:, 0]).astype(np.int32)
+            vA = np.round(uv[:, 1]).astype(np.int32)
+            uB = np.round(uv[:, 2]).astype(np.int32)
+            vB = np.round(uv[:, 3]).astype(np.int32)
+            c = (uv[:, 4] if uv.shape[1] > 4
+                 else np.ones(len(uv))).astype(np.float32)
+            inb = ((uA >= 0) & (uA < fA.W) & (vA >= 0) & (vA < fA.H)
+                   & (uB >= 0) & (uB < fB.W) & (vB >= 0) & (vB < fB.H))
+            if len(uv) > M:  # keep the most confident
+                order = np.argsort(-c)[:M]
+                uA, vA, uB, vB = uA[order], vA[order], uB[order], vB[order]
+                c, inb = c[order], inb[order]
+            n = len(uA)
+            uvA[i, :n] = np.stack([np.clip(uA, 0, fA.W - 1),
+                                   np.clip(vA, 0, fA.H - 1)], -1)
+            uvB[i, :n] = np.stack([np.clip(uB, 0, fB.W - 1),
+                                   np.clip(vB, 0, fB.H - 1)], -1)
+            conf[i, :n] = c
+            valid[i, :n] = inb
+            slots_a[i] = self._slot(fA)
+            slots_b[i] = self._slot(fB)
+            TA[i] = fA.pose_in_model.astype(np.float32)
+            TB[i] = fB.pose_in_model.astype(np.float32)
+            if fA.ref_frame_id == fB.id and fA.id == fB.id + 1:
+                caps[i] = (cfg["max_trans_neighbor"],
+                           np.deg2rad(cfg["max_rot_deg_neighbor"]))
+            elif fA.ref_frame_id != fB.id:
+                caps[i] = (cfg["max_trans_no_neighbor"],
+                           np.deg2rad(cfg["max_rot_no_neighbor"]))
+            hostm.append((np.stack([uA, vA], -1), np.stack([uB, vB], -1), c))
+
+        self._key, k = jax.random.split(self._key)
+        keys = np.asarray(jax.random.split(k, P))
+        pool = self.pool
+        res = lift_ransac_slots(
+            pool.xyzs, pool.nrms, jnp.asarray(slots_a), jnp.asarray(slots_b),
+            jnp.asarray(uvA), jnp.asarray(uvB), jnp.asarray(valid),
+            jnp.asarray(conf), jnp.asarray(TA), jnp.asarray(TB),
+            jnp.asarray(caps[:, 0]), jnp.asarray(caps[:, 1]),
+            jnp.asarray(keys), cfg["inlier_dist"],
+            float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
+            n_trials=int(cfg["max_iter"]))
+        res = jax.device_get(res)  # ONE sync for every pair's outputs
+
+        for i, (fA, fB, _) in enumerate(live):
+            uvA_h, uvB_h, c = hostm[i]
+            n = len(c)
+            ok = res["ok"][i, :n]
+            key = (fA.id, fB.id)
+            # pre-RANSAC (3D-gated) matches, for viz parity with the
+            # reference's before_ransac dumps
+            pre = {"uvA": uvA_h[ok], "uvB": uvB_h[ok],
+                   "pA_cam": res["pA_cam"][i, :n][ok],
+                   "pB_cam": res["pB_cam"][i, :n][ok],
+                   "nA_cam": res["nA_cam"][i, :n][ok],
+                   "nB_cam": res["nB_cam"][i, :n][ok],
+                   "conf": c[ok]}
+            self.matches[key] = pre
+            if viz:
+                self.viz_corres_between(fA, fB, "before_ransac")
+            inlier = res["inlier_mask"][i, :n]
+            if inlier.sum() < cfg["min_match_after_ransac"]:
+                logging.info(f"ransac {fA.id_str}-{fB.id_str}: "
+                             f"{int(inlier.sum())} inliers, cleared")
+                self.matches[key] = None
+                continue
+            keep = inlier[ok]
+            self.matches[key] = {k2: v[keep] for k2, v in pre.items()}
+            if viz:
+                self.viz_corres_between(fA, fB, "after_ransac")
 
     def n_matches(self, fA: Frame, fB: Frame) -> int:
         m = self.matches.get((fA.id, fB.id))
@@ -217,74 +265,9 @@ class Bundler:
         return np.asarray(rows, np.float32).reshape(-1, 5)
 
     # ------------------------------------------------------------------
-    # RANSAC filtering (ref runRansacMultiPairGPU FeatureManager.cpp:1587)
-    # ------------------------------------------------------------------
-    def run_ransac(self, pairs):
-        cfg = self.cfg["ransac"]
-        live = [(fA, fB, self.matches[(fA.id, fB.id)]) for fA, fB in pairs
-                if self.matches.get((fA.id, fB.id)) is not None
-                and len(self.matches[(fA.id, fB.id)]["conf"]) > 0]
-        if not live:
-            return
-        # all pairs share one padded batch -> ONE device dispatch per fixed
-        # PAIR_CHUNK (per-pair calls pay the tunnel latency each); fixed
-        # (PAIR_CHUNK, MATCH_CAP) shapes compile exactly once
-        M = self.MATCH_CAP
-        P = -(-len(live) // self.PAIR_CHUNK) * self.PAIR_CHUNK
-        pA = np.zeros((P, M, 3), np.float32)
-        pB = np.zeros((P, M, 3), np.float32)
-        nA = np.zeros((P, M, 3), np.float32)
-        nB = np.zeros((P, M, 3), np.float32)
-        conf = np.zeros((P, M), np.float32)
-        valid = np.zeros((P, M), bool)
-        caps = np.zeros((P, 2), np.float32)
-        for i, (fA, fB, m) in enumerate(live):
-            TA, TB = fA.pose_in_model, fB.pose_in_model
-            n = len(m["conf"])
-            pA[i, :n] = m["pA_cam"] @ TA[:3, :3].T + TA[:3, 3]
-            pB[i, :n] = m["pB_cam"] @ TB[:3, :3].T + TB[:3, 3]
-            nA[i, :n] = m["nA_cam"] @ TA[:3, :3].T
-            nB[i, :n] = m["nB_cam"] @ TB[:3, :3].T
-            conf[i, :n] = m["conf"]
-            valid[i, :n] = True
-            if fA.ref_frame_id == fB.id and fA.id == fB.id + 1:
-                caps[i] = (cfg["max_trans_neighbor"],
-                           np.deg2rad(cfg["max_rot_deg_neighbor"]))
-            elif fA.ref_frame_id != fB.id:
-                caps[i] = (cfg["max_trans_no_neighbor"],
-                           np.deg2rad(cfg["max_rot_no_neighbor"]))
-            else:
-                caps[i] = (np.inf, np.inf)
-
-        self._key, k = jax.random.split(self._key)
-        keys = np.asarray(jax.random.split(k, P))
-        fn = functools.partial(ransac_pose, n_trials=int(cfg["max_iter"]))
-        vfn = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, 0, 0))
-        chunks = []
-        for s in range(0, P, self.PAIR_CHUNK):
-            e = s + self.PAIR_CHUNK
-            out = vfn(jnp.asarray(keys[s:e]), jnp.asarray(pA[s:e]),
-                      jnp.asarray(pB[s:e]), jnp.asarray(nA[s:e]),
-                      jnp.asarray(nB[s:e]), jnp.asarray(conf[s:e]),
-                      jnp.asarray(valid[s:e]), cfg["inlier_dist"],
-                      float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
-                      jnp.asarray(caps[s:e, 0]), jnp.asarray(caps[s:e, 1]))
-            chunks.append(np.asarray(out["inlier_mask"]))
-        inlier_all = np.concatenate(chunks, axis=0)
-
-        for i, (fA, fB, m) in enumerate(live):
-            inlier = inlier_all[i, :len(m["conf"])]
-            if inlier.sum() < cfg["min_match_after_ransac"]:
-                logging.info(f"ransac {fA.id_str}-{fB.id_str}: "
-                             f"{int(inlier.sum())} inliers, cleared")
-                self.matches[(fA.id, fB.id)] = None
-                continue
-            self.matches[(fA.id, fB.id)] = {k2: v[inlier]
-                                            for k2, v in m.items()}
-
-    # ------------------------------------------------------------------
     # pose from correspondences (ref procrustesByCorrespondence
-    # FeatureManager.cpp:1050-1129)
+    # FeatureManager.cpp:1050-1129). Host numpy: <=1024 points — a device
+    # dispatch costs more in tunnel RTT than the whole solve.
     # ------------------------------------------------------------------
     def procrustes(self, fA: Frame, fB: Frame):
         m = self.matches.get((fA.id, fB.id))
@@ -306,13 +289,7 @@ class Bundler:
                 logging.info(f"procrustes {fA.id_str}-{fB.id_str}: "
                              f"degenerate inlier set ({ev}), identity")
                 return np.eye(4)
-        # pad to the shared cap so the jitted solve compiles once
-        M = self.MATCH_CAP
-        w = _pad_to(np.ones(len(src), np.float32), M)
-        T = np.asarray(_kabsch_masked(
-            jnp.asarray(_pad_to(src, M), jnp.float32),
-            jnp.asarray(_pad_to(dst, M), jnp.float32),
-            jnp.asarray(w)), np.float64)
+        T = kabsch_np(src, dst)
         # residual guard (ref procrustesByCorrespondence
         # FeatureManager.cpp:1095-1127: ||src_est-dst||/n > 1e-3 between
         # temporal neighbors pauses with debug dumps — note the reference's
@@ -343,9 +320,9 @@ class Bundler:
         min_rot = np.deg2rad(kf_cfg["min_rot"])
         for kf in self.keyframes:
             # camera rotation diversity ignoring roll around camera Z
-            rot_diff = float(rot_geodesic_ignore_cam_z(
-                jnp.asarray(frame.pose_in_model[:3, :3].T),
-                jnp.asarray(kf.pose_in_model[:3, :3].T)))
+            # (host numpy: a per-keyframe device dispatch costs ~15ms RTT)
+            rot_diff = rot_geodesic_ignore_cam_z_np(
+                frame.pose_in_model[:3, :3].T, kf.pose_in_model[:3, :3].T)
             if rot_diff < min_rot:
                 return False
         vis = self.covisibility_many(frame, self.keyframes)
@@ -361,9 +338,8 @@ class Bundler:
     # default normal_orientation_nearest plus the 5 alternate strategies
     # ------------------------------------------------------------------
     def _rot_dist_ignore_z(self, fA: Frame, fB: Frame) -> float:
-        return float(rot_geodesic_ignore_cam_z(
-            jnp.asarray(fA.pose_in_model[:3, :3].T),
-            jnp.asarray(fB.pose_in_model[:3, :3].T)))
+        return rot_geodesic_ignore_cam_z_np(fA.pose_in_model[:3, :3].T,
+                                            fB.pose_in_model[:3, :3].T)
 
     def _n_shared_map_points(self, fA: Frame, fB: Frame) -> int:
         """Count map points observed by both frames (ref
@@ -421,9 +397,10 @@ class Bundler:
                 rest = [kf for kf in pool if kf not in frames]
                 if not rest:
                     break
-                sums = np.zeros(len(rest))
-                for f in frames:
-                    sums += self.covisibility_many(f, rest)
+                # one dispatch for the whole (frames x rest) product
+                items = [(f, r) for f in frames for r in rest]
+                vis = self.covisibility_pairs(items)
+                sums = vis.reshape(len(frames), len(rest)).sum(axis=0)
                 if sums.max() <= 0:
                     break
                 frames.add(rest[int(np.argmax(sums))])
@@ -478,12 +455,19 @@ class Bundler:
                 tot += 0 if m is None else len(m["conf"])
         return tot
 
+    # exponential-subset searches (mirroring a reference path it flags
+    # "Super slow", Bundler.cpp:449-605): cap the explored-state count so a
+    # pathological pool can't hang the per-frame pipeline
+    DFS_STATE_CAP = 20000
+
     def _max_edge_dfs(self, start: Frame, goal: Frame, pool, max_ba):
         pool = pool + [goal]
         best = {"path": None, "n": -1}
         visited = set()
 
         def dfs(cur, path):
+            if len(visited) > self.DFS_STATE_CAP:
+                return
             key = frozenset(f.id for f in path)
             if key in visited:
                 return
@@ -514,6 +498,8 @@ class Bundler:
             return np.arccos(np.clip((np.trace(R1 @ R2.T) - 1) / 2, -1, 1))
 
         def dfs(cur, path):
+            if len(visited) > self.DFS_STATE_CAP:
+                return
             key = frozenset(f.id for f in path)
             if key in visited:
                 return
@@ -549,17 +535,14 @@ class Bundler:
                     continue
                 cands.append((fA, fB))
         pairs = []
-        # batch the covisibility gate per source frame (one dispatch each)
-        by_fA: dict[int, list] = {}
-        for fA, fB in cands:
-            by_fA.setdefault(fA.id, (fA, []))[1].append(fB)
-        for fA, fBs in by_fA.values():
-            vis = self.covisibility_many(fA, fBs)
-            for fB, v in zip(fBs, vis):
-                if v < min_vis:
-                    self.matches[(fA.id, fB.id)] = None
-                else:
-                    pairs.append((fA, fB))
+        # ONE dispatch for the whole covisibility gate (round-2: one
+        # dispatch per source frame)
+        vis = self.covisibility_pairs(cands)
+        for (fA, fB), v in zip(cands, vis):
+            if v < min_vis:
+                self.matches[(fA.id, fB.id)] = None
+            else:
+                pairs.append((fA, fB))
         return pairs
 
     # ------------------------------------------------------------------
@@ -617,6 +600,13 @@ class Bundler:
         # FeatureManager.cpp:467-511)
         for mpt in self._map_points.pop(frame.id, {}).values():
             mpt.pop(frame.id, None)
+        if (self.pool is not None and frame.pool is self.pool
+                and frame.slot is not None):
+            if int(self.cfg.get("SPDLOG", 1)) >= 1:
+                # artifact dumps read the maps after the frame is forgotten
+                frame._pull_host()
+            self.pool.release(frame.id)
+            frame.slot = None
         return True
 
     # ------------------------------------------------------------------
@@ -657,16 +647,15 @@ class Bundler:
         # padded slots get zero maps (no dense residuals) and pinned poses
         N_pad = int(bcfg["max_BA_frames"])
         N = len(frames)
-        xyz = jnp.stack([f.xyz_dev for f in frames]
-                        + [jnp.zeros_like(frames[0].xyz_dev)] * (N_pad - N))
-        nrm = jnp.stack([f.normal_dev for f in frames]
-                        + [jnp.zeros_like(frames[0].normal_dev)] * (N_pad - N))
-        factor = int(bcfg["image_downscale"][0]
-                     if isinstance(bcfg["image_downscale"], (list, tuple))
-                     else bcfg["image_downscale"])
-        xyz_d, nrm_d, K_d = downsample_maps(xyz, nrm,
-                                            frames[0].K.astype(np.float32),
-                                            factor)
+        slots = np.array([self._slot(f) for f in frames], np.int32)
+        xyz_n = gather_slots(self.pool.xyzs, jnp.asarray(slots))
+        nrm_n = gather_slots(self.pool.nrms, jnp.asarray(slots))
+        pad_shape = (N_pad - N, self.pool.H, self.pool.W, 3)
+        xyz = jnp.concatenate([xyz_n, jnp.zeros(pad_shape, jnp.float32)])
+        nrm = jnp.concatenate([nrm_n, jnp.zeros(pad_shape, jnp.float32)])
+        scales = (bcfg["image_downscale"]
+                  if isinstance(bcfg["image_downscale"], (list, tuple))
+                  else [bcfg["image_downscale"]])
         pair_ij = np.array([(i, j) for i in range(N_pad) for j in range(N_pad)
                             if i < j], np.int32)
         update_flags = np.zeros(N_pad, np.float32)
@@ -674,37 +663,47 @@ class Bundler:
             if k > 0 and not f.nerfed:
                 update_flags[k] = 1.0
 
-        cfg_ba = BAConfig(
-            n_outer=bcfg["num_iter_outter"],
-            image_downscale=factor,
-            dense_dist_thres=self.cfg["p2p"]["max_dist"],
-            dense_normal_thres_deg=self.cfg["p2p"]["max_normal_angle"],
-            assoc_radius=int(bcfg["depth_association_radius"]),
-            robust_delta=bcfg["robust_delta"],
-            w_sparse=bcfg["w_fm"], w_dense=bcfg["w_p2p"])
-
-        # per-frame valid-object-point indices in the downsampled grid: the
-        # dense term runs on these D points, not all h*w pixels
-        D = cfg_ba.n_dense_pts
-        hd, wd = frames[0].fg_mask[::factor, ::factor].shape
-        src_idx = np.zeros((N_pad, D), np.int32)
-        src_valid = np.zeros((N_pad, D), bool)
-        for k, f in enumerate(frames):
-            flat = np.nonzero((f.fg_mask[::factor, ::factor] > 0).reshape(-1))[0]
-            if len(flat) > D:  # uniform subsample to the budget
-                flat = flat[np.linspace(0, len(flat) - 1, D).astype(int)]
-            src_idx[k, :len(flat)] = flat
-            src_valid[k, :len(flat)] = True
-
         self._save_ba_poses(frames, "before")
-        poses0 = np.stack([f.pose_in_model for f in frames]
-                          + [np.eye(4)] * (N_pad - N)).astype(np.float32)
-        poses = np.asarray(bundle_adjust(
-            jnp.asarray(poses0), K_d, xyz_d, nrm_d, jnp.asarray(pair_ij),
-            jnp.asarray(corr_i_a), jnp.asarray(corr_j_a),
-            jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
-            jnp.asarray(valid), jnp.asarray(update_flags),
-            jnp.asarray(src_idx), jnp.asarray(src_valid), cfg_ba))
+        poses = np.stack([f.pose_in_model for f in frames]
+                         + [np.eye(4)] * (N_pad - N)).astype(np.float32)
+        # coarse-to-fine scale loop (ref LossGPU.cpp:79-131): the sparse
+        # feature-match term runs only at the FIRST scale; later scales
+        # refine with the dense p2p term alone (m_localWeightsSparse
+        # resized to 0 for iter>0, LossGPU.cpp:110-113)
+        for it, scale in enumerate(scales):
+            factor = int(scale)
+            xyz_d, nrm_d, K_d = downsample_maps(
+                xyz, nrm, frames[0].K.astype(np.float32), factor)
+
+            cfg_ba = BAConfig(
+                n_outer=bcfg["num_iter_outter"],
+                image_downscale=factor,
+                dense_dist_thres=self.cfg["p2p"]["max_dist"],
+                dense_normal_thres_deg=self.cfg["p2p"]["max_normal_angle"],
+                assoc_radius=int(bcfg["depth_association_radius"]),
+                robust_delta=bcfg["robust_delta"],
+                w_sparse=bcfg["w_fm"] if it == 0 else 0.0,
+                w_dense=bcfg["w_p2p"])
+
+            # per-frame valid-object-point indices in the downsampled grid:
+            # the dense term runs on these D points, not all h*w pixels
+            D = cfg_ba.n_dense_pts
+            src_idx = np.zeros((N_pad, D), np.int32)
+            src_valid = np.zeros((N_pad, D), bool)
+            for k, f in enumerate(frames):
+                flat = np.nonzero(
+                    (f.fg_mask[::factor, ::factor] > 0).reshape(-1))[0]
+                if len(flat) > D:  # uniform subsample to the budget
+                    flat = flat[np.linspace(0, len(flat) - 1, D).astype(int)]
+                src_idx[k, :len(flat)] = flat
+                src_valid[k, :len(flat)] = True
+
+            poses = np.asarray(bundle_adjust(
+                jnp.asarray(poses), K_d, xyz_d, nrm_d, jnp.asarray(pair_ij),
+                jnp.asarray(corr_i_a), jnp.asarray(corr_j_a),
+                jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
+                jnp.asarray(valid), jnp.asarray(update_flags),
+                jnp.asarray(src_idx), jnp.asarray(src_valid), cfg_ba))
 
         # abnormal-pose-change rejection vs temporal neighbor
         # (ref Bundler.cpp:927-946)

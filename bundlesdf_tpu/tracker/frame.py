@@ -1,9 +1,14 @@
-"""RGBD frame record with fused on-device preprocessing.
+"""RGBD frame record backed by the device-resident frame pool.
 
 Re-design of the reference `Frame` (`BundleTrack/src/Frame.{h,cpp}`): the
 CUDA preprocessing chain (erode -> 2x bilateral -> xyz -> normals -> edge
-filter -> mask invalidation, Frame.cpp:225-334) is one fused XLA call
-(ops/preprocess.py); pose and bookkeeping stay host-side numpy.
+filter -> mask invalidation, Frame.cpp:225-334) is one fused XLA program
+that also writes the maps into the shared FramePool and counts valid
+points (round-3: the round-2 design kept per-frame device arrays and
+dispatched invalidation/count separately — 5 dispatches/frame became 1).
+Pose and bookkeeping stay host-side numpy. Frames constructed without a
+pool keep standalone device arrays (legacy/test path); the Bundler adopts
+them into its pool on first touch.
 """
 from __future__ import annotations
 
@@ -26,10 +31,11 @@ class FrameStatus(enum.Enum):
 
 class Frame:
     """@color: (H,W,3) uint8; @depth: (H,W) float32 meters; @mask optional
-    (H,W); @pose_in_model: (4,4) cam-in-object (cv convention)."""
+    (H,W); @pose_in_model: (4,4) cam-in-object (cv convention).
+    @pool: optional FramePool — when given, maps live in the pool."""
 
     def __init__(self, color, depth, K, id: int, id_str: str, cfg,
-                 mask=None, occ_mask=None, pose_in_model=None):
+                 mask=None, occ_mask=None, pose_in_model=None, pool=None):
         self.cfg = cfg
         self.color = np.asarray(color)
         self.H, self.W = self.color.shape[:2]
@@ -49,53 +55,78 @@ class Frame:
         # raw depth kept for debug dumps (ref _depth_raw, Bundler.cpp:998)
         self.depth_raw = np.asarray(depth, np.float32).copy()
 
-        dp = cfg["depth_processing"]
-        d, xyz, nrm = preprocess_depth_frame(
-            jnp.asarray(depth, jnp.float32), jnp.asarray(self.K, jnp.float32),
-            mask=jnp.asarray(self.fg_mask),
-            erode_radius=int(dp["erode"]["radius"]),
-            erode_diff=dp["erode"]["diff"], erode_ratio=dp["erode"]["ratio"],
-            bf_radius=int(dp["bilateral_filter"]["radius"]),
-            sigma_d=dp["bilateral_filter"]["sigma_D"],
-            sigma_r=dp["bilateral_filter"]["sigma_R"],
-            zfar=dp["zfar"],
-            edge_angle_thres_rad=dp["edge_normal_thres"] * math.pi / 180.0)
-        # maps stay DEVICE-RESIDENT: with the TPU behind a tunnel, pulling
-        # the 26MB of per-frame maps to host costs seconds; host copies are
-        # lazy properties used only by offline paths (artifact dumps,
-        # denoising, texture bake)
-        self.depth_dev = d
-        self.xyz_dev = xyz
-        self.normal_dev = nrm
+        self.pool = pool
+        self._n_valid_dev = None  # un-pulled device scalar (lazy sync)
+        self._n_valid = None
         self._depth_host = None
         self._xyz_host = None
         self._normal_host = None
-        self._n_valid = None
+
+        if pool is not None:
+            # fused preprocess + pool write + valid count: ONE dispatch
+            self.slot, self._n_valid_dev = pool.insert_preprocessed(
+                self.id, depth, self.K, self.fg_mask,
+                cfg["depth_processing"])
+            self.depth_dev = self.xyz_dev = self.normal_dev = None
+        else:
+            self.slot = None
+            dp = cfg["depth_processing"]
+            d, xyz, nrm = preprocess_depth_frame(
+                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(self.K, jnp.float32),
+                mask=jnp.asarray(self.fg_mask),
+                erode_radius=int(dp["erode"]["radius"]),
+                erode_diff=dp["erode"]["diff"],
+                erode_ratio=dp["erode"]["ratio"],
+                bf_radius=int(dp["bilateral_filter"]["radius"]),
+                sigma_d=dp["bilateral_filter"]["sigma_D"],
+                sigma_r=dp["bilateral_filter"]["sigma_R"],
+                zfar=dp["zfar"],
+                edge_angle_thres_rad=dp["edge_normal_thres"] * math.pi / 180.0)
+            self.depth_dev = d
+            self.xyz_dev = xyz
+            self.normal_dev = nrm
+
+    @property
+    def pooled(self) -> bool:
+        return self.pool is not None and self.slot is not None
 
     # -- lazy host views -----------------------------------------------------
+    def _pull_host(self):
+        if self.pooled:
+            (self._depth_host, self._xyz_host,
+             self._normal_host) = self.pool.host_maps(self.id)
+        else:
+            self._depth_host = np.asarray(self.depth_dev)
+            self._xyz_host = np.asarray(self.xyz_dev)
+            self._normal_host = np.asarray(self.normal_dev)
+
     @property
     def depth(self):
         if self._depth_host is None:
-            self._depth_host = np.asarray(self.depth_dev)
+            self._pull_host()
         return self._depth_host
 
     @property
     def xyz_map(self):
         if self._xyz_host is None:
-            self._xyz_host = np.asarray(self.xyz_dev)
+            self._pull_host()
         return self._xyz_host
 
     @property
     def normal_map(self):
         if self._normal_host is None:
-            self._normal_host = np.asarray(self.normal_dev)
+            self._pull_host()
         return self._normal_host
 
     # -- ref Frame.cpp:453-464 ---------------------------------------------
     def count_valid_points(self) -> int:
         if self._n_valid is None:
-            self._n_valid = int(jnp.sum((self.depth_dev > 0.1)
-                                        & (jnp.asarray(self.fg_mask) > 0)))
+            if self._n_valid_dev is not None:
+                self._n_valid = int(self._n_valid_dev)
+            else:
+                self._n_valid = int(jnp.sum((self.depth_dev > 0.1)
+                                            & (jnp.asarray(self.fg_mask) > 0)))
         return self._n_valid
 
     # -- ref Frame.cpp:147-170 ---------------------------------------------
@@ -137,11 +168,18 @@ class Frame:
 
     def invalidate_pixels_by_mask(self, mask):
         """Ref Frame.cpp:432-451 — zero depth/normals outside the mask.
-        Runs on device; host views are invalidated."""
-        keep = jnp.asarray(np.asarray(mask) > 0)
-        self.depth_dev = jnp.where(keep, self.depth_dev, 0.0)
-        self.xyz_dev = jnp.where(keep[..., None], self.xyz_dev, 0.0)
-        self.normal_dev = jnp.where(keep[..., None], self.normal_dev, 0.0)
+        Runs on device; host views are invalidated. No-op dispatch-wise is
+        the caller's responsibility (the mask is already applied at
+        construction; call this only when the mask shrank)."""
+        mask = np.asarray(mask) > 0
+        if self.pooled:
+            self._n_valid_dev = self.pool.apply_mask(self.id, mask)
+        else:
+            keep = jnp.asarray(mask)
+            self.depth_dev = jnp.where(keep, self.depth_dev, 0.0)
+            self.xyz_dev = jnp.where(keep[..., None], self.xyz_dev, 0.0)
+            self.normal_dev = jnp.where(keep[..., None], self.normal_dev, 0.0)
+            self._n_valid_dev = None
         self._depth_host = None
         self._xyz_host = None
         self._normal_host = None

@@ -177,3 +177,64 @@ def kabsch(src, dst, weights=None):
 
 
 kabsch_batched = jax.vmap(kabsch)
+
+
+# ---------------------------------------------------------------------------
+# NumPy twins for HOST-side small-matrix math. The jnp versions above
+# dispatch to the default (TPU) backend — through the dev tunnel a single
+# 3x3 geodesic costs a 10-35 ms round trip, and the tracker calls these in
+# per-keyframe loops (round-2: a large share of the ~3 s/frame).
+# ---------------------------------------------------------------------------
+
+def rot_geodesic_ignore_cam_z_np(R1, R2):
+    """NumPy twin of rot_geodesic_ignore_cam_z (ref Utils.cpp:89-99)."""
+    from scipy.spatial.transform import Rotation
+
+    R = np.asarray(R2) @ np.asarray(R1).T
+    w = Rotation.from_matrix(R).as_rotvec()
+    angle = np.linalg.norm(w)
+    if angle < 1e-12:
+        return 0.0
+    axis = w / angle
+    axis[2] = 0.0
+    n = np.linalg.norm(axis)
+    if n < 1e-6:  # pure cam-Z roll -> distance 0
+        return 0.0
+    return float(angle)
+
+
+def kabsch_np(src, dst, weights=None):
+    """NumPy twin of kabsch (Horn quaternion via eigh of the 4x4)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    if weights is None:
+        weights = np.ones(src.shape[0])
+    w = (weights / (weights.sum() + _EPS))[:, None]
+    mean1 = (src * w).sum(axis=0)
+    mean2 = (dst * w).sum(axis=0)
+    P = src - mean1
+    Q = dst - mean2
+    S = (P * w).T @ Q
+    sxx, sxy, sxz = S[0]
+    syx, syy, syz = S[1]
+    szx, szy, szz = S[2]
+    N = np.array([
+        [sxx + syy + szz, syz - szy, szx - sxz, sxy - syx],
+        [syz - szy, sxx - syy - szz, sxy + syx, szx + sxz],
+        [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
+        [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
+    ])
+    vals, vecs = np.linalg.eigh(N)
+    qw, qx, qy, qz = vecs[:, -1]
+    R = np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+         2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+         1 - 2 * (qx * qx + qy * qy)],
+    ])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = mean2 - R @ mean1
+    return T

@@ -25,6 +25,7 @@ from bundlesdf_tpu.config import (default_nerf_config, default_track_config,
 from bundlesdf_tpu.datasets import YcbineoatReader
 from bundlesdf_tpu.mesh import Mesh
 from bundlesdf_tpu.utils.common import set_logging_format, set_seed
+from bundlesdf_tpu.utils.segmentation import Segmenter
 from bundlesdf_tpu.utils.viz import draw_posed_3d_box
 
 
@@ -79,16 +80,33 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
                         start_nerf_keyframes=5, use_gui=use_gui)
     reader = YcbineoatReader(video_dir=video_dir, shorter_side=480)
 
+    # per-frame segmenter (ref run_custom.py:64-91: reads the mask via
+    # Segmenter.run on the rgb->masks path instead of the reader; XMem is
+    # excluded upstream for license, so run() reads precomputed masks and
+    # optionally subtracts a static background cloud)
+    segmenter = Segmenter(cfg_track) if use_segmenter else None
+
     erode = cfg_track.get("erode_mask", 0)
     for i in range(0, len(reader.color_files), stride):
         color = reader.get_color(i)
         depth = reader.get_depth(i)
-        mask = reader.get_mask(i)
+        if segmenter is not None:
+            mask_file = reader.color_files[i].replace("rgb", "masks")
+            mask = segmenter.run(mask_file, depth=depth, K=reader.K)
+            if mask is not None and mask.shape[:2] != color.shape[:2]:
+                mask = cv2.resize(mask, (color.shape[1], color.shape[0]),
+                                  interpolation=cv2.INTER_NEAREST)
+        else:
+            mask = reader.get_mask(i)
         if erode > 0 and mask is not None:
             kernel = np.ones((erode, erode), np.uint8)
             mask = cv2.erode(mask.astype(np.uint8), kernel)
+        # occluder masks (HO3D masks_hand layout) ride along when present
+        occ_mask = None
+        if os.path.isdir(os.path.join(video_dir, "masks_hand")):
+            occ_mask = reader.get_occ_mask(i)
         tracker.run(color, depth, reader.K.copy(), reader.id_strs[i],
-                    mask=mask, occ_mask=None, pose_in_model=np.eye(4))
+                    mask=mask, occ_mask=occ_mask, pose_in_model=np.eye(4))
     tracker.on_finish()
     run_one_video_global_nerf(out_folder=out_folder, video_dir=video_dir,
                               refine_overrides=refine_overrides)

@@ -106,3 +106,40 @@ def cube_orbit_sequence(n_frames=12, H=120, W=160, radius=0.45, obj_size=0.08,
         "cam_in_obs": np.array(poses),
         "id_strs": ids,
     }
+
+
+def add_occluder(seq, start_frac=0.35, end_frac=0.65, width_frac=0.45,
+                 occ_depth=0.22, color=(90, 90, 90)):
+    """Sweep a screen-space occluder strip across the view for the middle
+    segment of a sequence (in place). Models a hand/object passing in
+    front of the target: occluded pixels get the occluder's color+depth,
+    leave the foreground mask, and are flagged in per-frame occ_masks
+    (the HO3D masks_hand semantics). Mid-sweep frames lose most of the
+    object, driving the tracker's FAIL cascade + relocalization.
+
+    Returns the mutated seq with an added "occ_masks" (N,H,W) uint8.
+    """
+    colors = seq["colors"]
+    depths = seq["depths"]
+    masks = seq["masks"]
+    n, H, W = masks.shape[:3]
+    occ_masks = np.zeros((n, H, W), np.uint8)
+    t0 = int(round(start_frac * n))
+    t1 = int(round(end_frac * n))
+    us = np.arange(W)[None, :]
+    for i in range(t0, min(t1, n)):
+        prog = (i - t0) / max(t1 - t0 - 1, 1)
+        center = (0.1 + 0.8 * prog) * W
+        # mid-sweep the occluder covers the whole view (total occlusion):
+        # guarantees FAIL frames so the benchmark exercises the cascade +
+        # re-localization, not just partial-occlusion robustness
+        half = width_frac * W / 2.0
+        if abs(prog - 0.5) < 0.15:
+            half = W
+        strip = np.broadcast_to(np.abs(us - center) < half, (H, W))
+        occ_masks[i] = strip.astype(np.uint8)
+        colors[i][strip] = color
+        depths[i][strip] = occ_depth
+        masks[i][strip] = 0
+    seq["occ_masks"] = occ_masks
+    return seq

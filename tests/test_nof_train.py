@@ -90,6 +90,17 @@ def test_continued_training_resumes(trained_runner):
     assert np.isfinite(metrics["loss"]).all()
 
 
+def test_run_budget_telemetry(trained_runner):
+    """_check_run_budget measures per-dense-level overflow on a real
+    training batch (round-2 verdict: k_runs clamp was a silent dial)."""
+    runner, _, _ = trained_runner
+    fracs = runner._check_run_budget(n_rays=64)
+    assert fracs is not None
+    assert fracs.ndim == 1 and len(fracs) >= 1
+    assert np.isfinite(fracs).all()
+    assert ((fracs >= 0) & (fracs <= 1)).all()
+
+
 def test_n_importance_adds_samples(trained_runner):
     """N_importance>0 runs the hierarchical PDF resample (ref
     nerf_runner.py:1090-1126): sample count grows by n_importance per

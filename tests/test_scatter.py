@@ -108,6 +108,65 @@ def test_sorted_tiles_truncation_cap_falls_back():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("M", [300, 700, 1])
+def test_sorted_tiles_m_not_multiple_of_win(M):
+    # M not a multiple of win used to crash at trace time (m_cap rounded up
+    # past M -> slice out of bounds); must now pad and stay exact
+    rows, vals = _case(M, 5000, seed=8)
+    ref = scatter_rows_xla(vals, rows, 5000)
+    out = scatter_rows_sorted_tiles(vals, rows, 5000, m_cap=0, t_tile=512,
+                                    win=512, bf16=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_run_overflow_fractions():
+    """Telemetry for the k_runs budget: overflow fraction is 0 when the
+    budget covers S and 1 when the budget is tiny and samples hop voxels."""
+    from bundlesdf_tpu.ops.hashgrid import (HashGridSpec,
+                                            run_overflow_fractions)
+    S = 32
+    # rays marching straight through the finest level: one voxel per sample
+    t = np.linspace(-0.9, 0.9, S)
+    x = np.stack([t, np.zeros(S), np.zeros(S)], -1)[None].repeat(4, 0)
+    x = jnp.asarray(x.reshape(-1, 3), jnp.float32)
+    ample = HashGridSpec(n_levels=2, level_dim=2, base_res=4, finest_res=64,
+                         log2_hashmap_size=20, ray_samples=S)
+    f = np.asarray(run_overflow_fractions(x, ample))
+    assert f.shape == (2,) and f[0] == 0.0  # coarse level: few runs
+    tight = HashGridSpec(n_levels=2, level_dim=2, base_res=4, finest_res=64,
+                         log2_hashmap_size=20, ray_samples=S,
+                         k_runs=(8, 8))
+    f2 = np.asarray(run_overflow_fractions(x, tight))
+    assert f2[1] == 1.0  # every ray blows the 8-run budget at res 64
+
+
+def test_hashgrid_backward_tiny_ray_count():
+    """3-ray hash-grid backward through the tile engine (regression: odd
+    row counts from small debug batches crashed the scatter)."""
+    from bundlesdf_tpu.ops.hashgrid import (HashGridSpec, hashgrid_encode,
+                                            init_hashgrid_params)
+    n_samples = 16
+    rng = np.random.default_rng(9)
+    o = rng.uniform(-0.3, 0.3, (3, 3))
+    d = rng.standard_normal((3, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.sort(rng.uniform(0.0, 0.6, (3, n_samples)), axis=1)
+    x = jnp.asarray(np.clip((o[:, None] + d[:, None] * t[..., None]
+                             ).reshape(-1, 3), -0.99, 0.99), jnp.float32)
+    for m in ("xla", "tiles"):
+        spec = HashGridSpec(n_levels=3, level_dim=2, base_res=4,
+                            finest_res=64, log2_hashmap_size=20,
+                            ray_samples=n_samples, scatter_method=m,
+                            scatter_bf16=False)
+        table = init_hashgrid_params(jax.random.PRNGKey(0), spec)
+
+        def loss(tab):
+            return jnp.sum(hashgrid_encode(tab, x, spec, ray_mode=True))
+        g = np.asarray(jax.grad(loss)(table))
+        assert np.isfinite(g).all()
+
+
 def test_dispatcher_routes():
     rows, vals = _case(2048, 1024, seed=5)
     ref = scatter_rows_xla(vals, rows, 1024)
