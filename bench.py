@@ -75,7 +75,7 @@ def main():
     bench_tracking()
 
 
-def bench_tracking(n_frames=40, warmup=10):
+def bench_tracking(n_frames=45, warmup=15):
     """Steady-state online tracking FPS (round-2 verdict item 2: the FPS
     target was the one thing bench.py didn't measure)."""
     import sys, os
@@ -98,7 +98,10 @@ def bench_tracking(n_frames=40, warmup=10):
         tracker.run(seq["colors"][i], seq["depths"][i].copy(), seq["K"],
                     seq["id_strs"][i], mask=seq["masks"][i])
         times.append(time.perf_counter() - t0)
-    steady = np.asarray(times[warmup:])
+    # steady state = the tail: jit compiles (one per shape bucket, ~10s
+    # each through the dev tunnel) land over the first ~2/3 of the run as
+    # keyframe-count buckets fill
+    steady = np.asarray(times[-max(n_frames - warmup, 10):])
     fps = 1.0 / np.median(steady)
 
     print(json.dumps({

@@ -102,21 +102,29 @@ class BundleSdf:
                         and b.new_frame is frame_pairs[0][0])
         if not frame_pairs:
             return
-        # canonicalize each pair: rotate B into A's in-plane orientation,
-        # crop ROIs, resize to a shared square (ref getProcessedImagePairs ->
-        # processImagePair FeatureManager.cpp:126-257)
-        out_size = int(self.cfg_track["feature_corres"].get("resize", 400))
-        imgsA, imgsB, tfs = [], [], []
-        for fA, fB in frame_pairs:
-            cropA, cropB, tfA, tfB = process_image_pair(
-                fA.color, fB.color, mask_roi(fA.fg_mask), mask_roi(fB.fg_mask),
-                fA.pose_in_model, fB.pose_in_model, out_size=out_size)
-            imgsA.append(cropA)
-            imgsB.append(cropB)
-            tfs.append((tfA, tfB))
-        raw = self.matcher.predict(imgsA, imgsB)
-        raw = [map_matches_back(uv, tfA, tfB)
-               for uv, (tfA, tfB) in zip(raw, tfs)]
+        if hasattr(self.matcher, "match_frames"):
+            # frame-keyed fast path (ORB): rotation-invariant descriptors
+            # cached per frame, matched at full res — no per-pair warp
+            raw = self.matcher.match_frames(frame_pairs)
+        else:
+            # canonicalize each pair: rotate B into A's in-plane
+            # orientation, crop ROIs, resize to a shared square (ref
+            # getProcessedImagePairs -> processImagePair
+            # FeatureManager.cpp:126-257)
+            out_size = int(self.cfg_track["feature_corres"].get("resize",
+                                                                400))
+            imgsA, imgsB, tfs = [], [], []
+            for fA, fB in frame_pairs:
+                cropA, cropB, tfA, tfB = process_image_pair(
+                    fA.color, fB.color, mask_roi(fA.fg_mask),
+                    mask_roi(fB.fg_mask),
+                    fA.pose_in_model, fB.pose_in_model, out_size=out_size)
+                imgsA.append(cropA)
+                imgsB.append(cropB)
+                tfs.append((tfA, tfB))
+            raw = self.matcher.predict(imgsA, imgsB)
+            raw = [map_matches_back(uv, tfA, tfB)
+                   for uv, (tfA, tfB) in zip(raw, tfs)]
 
         # map-point propagation augments net matches with multi-frame
         # tracks (ref findCorresByMapPoints, feature_corres.map_points)

@@ -8,46 +8,234 @@ full pipeline runs.
 """
 from __future__ import annotations
 
+import functools
+
 import cv2
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
 class OrbMatcher:
+    # per-frame feature cache capacity (keyframes + window)
+    CACHE_CAP = 256
+
     def __init__(self, n_features: int = 2000, ratio: float = 0.85):
         self.orb = cv2.ORB_create(nfeatures=n_features, fastThreshold=5)
         self.ratio = ratio
         self.bf = cv2.BFMatcher(cv2.NORM_HAMMING)
+        self._cache: dict[int, tuple] = {}
 
     def _detect(self, img):
         gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) if img.ndim == 3 else img
         kps, des = self.orb.detectAndCompute(gray, None)
         return kps, des
 
+    def _match_feats(self, kA, dA, kB, dB):
+        if dA is None or dB is None or len(kA) < 2 or len(kB) < 2:
+            return np.zeros((0, 5), np.float32)
+        # ratio test both directions -> mutual consistency
+        mAB = self.bf.knnMatch(dA, dB, k=2)
+        mBA = self.bf.knnMatch(dB, dA, k=2)
+        fwd = {}
+        for m in mAB:
+            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
+                fwd[m[0].queryIdx] = m[0]
+        bwd = {}
+        for m in mBA:
+            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
+                bwd[m[0].queryIdx] = m[0].trainIdx
+        rows = []
+        for qi, m in fwd.items():
+            if bwd.get(m.trainIdx, -1) == qi:
+                uA, vA = kA[qi].pt
+                uB, vB = kB[m.trainIdx].pt
+                conf = 1.0 / (1.0 + m.distance / 64.0)
+                rows.append([uA, vA, uB, vB, conf])
+        return np.asarray(rows, np.float32).reshape(-1, 5)
+
+    def _match_feats_np(self, uvA, dA, uvB, dB):
+        """Cached-descriptor variant of _match_feats (uv arrays, not cv2
+        KeyPoint objects)."""
+        if dA is None or dB is None or len(uvA) < 2 or len(uvB) < 2:
+            return np.zeros((0, 5), np.float32)
+        mAB = self.bf.knnMatch(dA, dB, k=2)
+        mBA = self.bf.knnMatch(dB, dA, k=2)
+        fwd = {}
+        for m in mAB:
+            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
+                fwd[m[0].queryIdx] = m[0]
+        bwd = {}
+        for m in mBA:
+            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
+                bwd[m[0].queryIdx] = m[0].trainIdx
+        rows = []
+        for qi, m in fwd.items():
+            if bwd.get(m.trainIdx, -1) == qi:
+                conf = 1.0 / (1.0 + m.distance / 64.0)
+                rows.append([*uvA[qi], *uvB[m.trainIdx], conf])
+        return np.asarray(rows, np.float32).reshape(-1, 5)
+
     def predict(self, rgbAs, rgbBs):
         out = []
         for imgA, imgB in zip(rgbAs, rgbBs):
             kA, dA = self._detect(np.asarray(imgA))
             kB, dB = self._detect(np.asarray(imgB))
-            if dA is None or dB is None or len(kA) < 2 or len(kB) < 2:
-                out.append(np.zeros((0, 5), np.float32))
-                continue
-            # ratio test both directions -> mutual consistency
-            mAB = self.bf.knnMatch(dA, dB, k=2)
-            mBA = self.bf.knnMatch(dB, dA, k=2)
-            fwd = {}
-            for m in mAB:
-                if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
-                    fwd[m[0].queryIdx] = m[0]
-            bwd = {}
-            for m in mBA:
-                if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
-                    bwd[m[0].queryIdx] = m[0].trainIdx
-            rows = []
-            for qi, m in fwd.items():
-                if bwd.get(m.trainIdx, -1) == qi:
-                    uA, vA = kA[qi].pt
-                    uB, vB = kB[m.trainIdx].pt
-                    conf = 1.0 / (1.0 + m.distance / 64.0)
-                    rows.append([uA, vA, uB, vB, conf])
-            out.append(np.asarray(rows, np.float32).reshape(-1, 5))
+            out.append(self._match_feats(kA, dA, kB, dB))
         return out
+
+    # -- frame-keyed fast path ---------------------------------------------
+    # ORB's oriented BRIEF descriptors are in-plane-rotation invariant, so
+    # (unlike LoFTR) the pair canonicalization warp of processImagePair
+    # (FeatureManager.cpp:126-257) is unnecessary: detect ONCE per frame
+    # (cropped to the mask bbox), cache by frame id, and match cached
+    # descriptors for ALL pairs in one device dispatch — hamming distance
+    # becomes a +/-1 MXU matmul (sim = 256 - 2*hamming), with the ratio +
+    # mutual-NN tests vectorized on device. cv2's BFMatcher took ~74 ms/
+    # pair host-side; the batched device matcher does every pair at once.
+
+    FEAT_CAP = 2048    # padded descriptor count per frame (device shapes)
+    DETECT_SIZE = 400  # canonical crop size for detection (ref resize)
+
+    def _frame_feats(self, frame):
+        hit = self._cache.get(frame.id)
+        if hit is not None:
+            return hit
+        gray = cv2.cvtColor(np.asarray(frame.color), cv2.COLOR_RGB2GRAY)
+        mask = (np.asarray(frame.fg_mask) > 0).astype(np.uint8)
+        # detect on the mask bbox crop, zoomed to a canonical size (the
+        # reference's processImagePair resizes crops to 400x400 — the zoom
+        # is what gives ORB enough texture on small/distant objects; here
+        # it is per-FRAME with no rotation warp, so features are cached)
+        vs, us = np.nonzero(mask)
+        if len(vs) == 0:
+            entry = (np.zeros((0, 2), np.float32), None, None)
+            self._cache[frame.id] = entry
+            return entry
+        m = 10
+        v0, v1 = max(vs.min() - m, 0), min(vs.max() + m + 1, mask.shape[0])
+        u0, u1 = max(us.min() - m, 0), min(us.max() + m + 1, mask.shape[1])
+        crop = gray[v0:v1, u0:u1]
+        cmask = mask[v0:v1, u0:u1]
+        zoom = self.DETECT_SIZE / max(crop.shape)
+        if abs(zoom - 1.0) > 0.05:
+            size = (max(int(round(crop.shape[1] * zoom)), 8),
+                    max(int(round(crop.shape[0] * zoom)), 8))
+            crop = cv2.resize(crop, size, interpolation=cv2.INTER_LINEAR)
+            cmask = cv2.resize(cmask, size, interpolation=cv2.INTER_NEAREST)
+            zoom_uv = (size[0] / (u1 - u0), size[1] / (v1 - v0))
+        else:
+            zoom_uv = (1.0, 1.0)
+        kps, des = self.orb.detectAndCompute(crop, cmask)
+        if des is None or len(kps) == 0:
+            entry = (np.zeros((0, 2), np.float32), None, None)
+        else:
+            uv = (np.array([k.pt for k in kps], np.float32) / zoom_uv
+                  + (u0, v0))
+            if len(uv) > self.FEAT_CAP:
+                order = np.argsort([-k.response for k in kps])[:self.FEAT_CAP]
+                uv, des = uv[order], des[order]
+            # +/-1 bit expansion for the MXU hamming matmul, padded to the
+            # cap and cached ON DEVICE as int8: re-uploading the expanded
+            # batch each call cost ~32MB/call through the tunnel
+            bits = np.unpackbits(des, axis=1).astype(np.int8) * 2 - 1
+            bits_p = np.zeros((self.FEAT_CAP, bits.shape[1]), np.int8)
+            bits_p[:len(bits)] = bits
+            entry = (uv, des, jnp.asarray(bits_p))
+        if len(self._cache) >= self.CACHE_CAP:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[frame.id] = entry
+        return entry
+
+    def match_frames(self, frame_pairs):
+        """@frame_pairs: [(fA, fB)] tracker Frame objects. Returns per-pair
+        (N,5) [uA,vA,uB,vB,conf] in FULL-RES pixel coords. One device
+        dispatch matches every pair."""
+        feats = [(self._frame_feats(fA), self._frame_feats(fB))
+                 for fA, fB in frame_pairs]
+        live = [i for i, ((_, dA, _), (_, dB, _)) in enumerate(feats)
+                if dA is not None and dB is not None]
+        out = [np.zeros((0, 5), np.float32)] * len(frame_pairs)
+        if not live:
+            return out
+        if jax.default_backend() == "cpu":
+            # the MXU matmul matcher loses to cv2's SIMD hamming on CPU
+            for i in live:
+                (uvA, dA, _), (uvB, dB, _) = feats[i]
+                out[i] = self._match_feats_np(uvA, dA, uvB, dB)
+            return out
+        # pair-count bucket: each distinct P compiles its own program
+        # (seconds through the tunnel); 1 covers the per-frame ref match,
+        # 8/16 the BA-window batches
+        P = next(b for b in (1, 8, 16, 32, 64, 128, 256) if b >= len(live))
+        F = self.FEAT_CAP
+        nbits = feats[live[0]][0][2].shape[1]
+        zero = jnp.zeros((F, nbits), jnp.int8)
+        colA, colB = [], []
+        nA = np.zeros(P, np.int32)
+        nB = np.zeros(P, np.int32)
+        for k, i in enumerate(live):
+            (uvA, _, bitsA), (uvB, _, bitsB) = feats[i]
+            colA.append(bitsA)
+            colB.append(bitsB)
+            nA[k], nB[k] = len(uvA), len(uvB)
+        colA += [zero] * (P - len(live))
+        colB += [zero] * (P - len(live))
+        # device-side stack of cached device arrays — no host re-upload
+        res = _orb_match_batch(jnp.stack(colA), jnp.stack(colB),
+                               jnp.asarray(nA), jnp.asarray(nB),
+                               float(self.ratio), nbits)
+        j_best, accept, dist = (np.asarray(res["j"]), np.asarray(res["ok"]),
+                                np.asarray(res["dist"]))
+        for k, i in enumerate(live):
+            (uvA, _, _), (uvB, _, _) = feats[i]
+            sel = np.nonzero(accept[k, :len(uvA)])[0]
+            j = j_best[k, sel]
+            conf = 1.0 / (1.0 + dist[k, sel] / 64.0)
+            rows = np.concatenate([uvA[sel], uvB[j], conf[:, None]],
+                                  axis=1).astype(np.float32)
+            out[i] = rows
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "nbits"))
+def _orb_match_batch(bitsA, bitsB, nA, nB, ratio: float, nbits: int):
+    """Batched mutual-ratio hamming matching on the MXU.
+
+    @bitsA/@bitsB: (P,F,nbits) +/-1 floats (padded rows are all -1 but are
+    masked out via @nA/@nB). sim = bitsA @ bitsB^T in [-nbits, nbits];
+    hamming = (nbits - sim)/2. Ratio test (best < ratio * second-best) in
+    both directions + mutual-NN, exactly the host _match_feats semantics.
+    """
+    def one(bA, bB, na, nb):
+        # int8 +/-1 bits -> bf16 for the MXU; f32 accumulation is exact
+        # (sums bounded by nbits=256)
+        sim = jax.lax.dot_general(
+            bA.astype(jnp.bfloat16), bB.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (F,F)
+        dist = (nbits - sim) * 0.5
+        F = dist.shape[0]
+        colmask = jnp.arange(F) < nb
+        rowmask = jnp.arange(F) < na
+        big = jnp.float32(1e9)
+        d = jnp.where(colmask[None, :], dist, big)
+        d = jnp.where(rowmask[:, None], d, big)
+        # row direction: best + runner-up
+        j1 = jnp.argmin(d, axis=1)
+        d1 = jnp.take_along_axis(d, j1[:, None], axis=1)[:, 0]
+        d_wo = d.at[jnp.arange(F), j1].set(big)
+        d2 = jnp.min(d_wo, axis=1)
+        row_ok = (d1 < ratio * d2) & rowmask & (d1 < big)
+        # column direction
+        i1 = jnp.argmin(d, axis=0)
+        c1 = jnp.take_along_axis(d, i1[None, :], axis=0)[0]
+        d_wo_c = d.at[i1, jnp.arange(F)].set(big)
+        c2 = jnp.min(d_wo_c, axis=0)
+        col_ok = (c1 < ratio * c2) & colmask & (c1 < big)
+        # mutual: A_i's best j must map back to i and pass its own ratio
+        mutual = (i1[j1] == jnp.arange(F)) & col_ok[j1]
+        ok = row_ok & mutual
+        return {"j": j1, "ok": ok, "dist": d1}
+
+    return jax.vmap(one)(bitsA, bitsB, nA, nB)

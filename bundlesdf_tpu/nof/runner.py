@@ -156,7 +156,11 @@ class NofRunner:
             trunc=cfg["trunc"] * sc, neg_trunc_ratio=cfg["neg_trunc_ratio"],
             sdf_lambda=cfg["sdf_lambda"], near=cfg["near"] * sc,
             far=cfg["far"] * sc,
-            n_trace_steps=int(cfg.get("n_trace_steps", 128)),
+            # DDA step count: n_steps >= trace_res keeps the no-skip
+            # guarantee (ops/occupancy.py); the coarse trace halves both
+            # the rows and the steps
+            n_trace_steps=int(cfg.get("n_trace_steps",
+                                      self.occ_grid.trace_res or 128)),
             raw_noise_std=cfg["raw_noise_std"],
             n_importance=int(cfg.get("N_importance", 0)),
             n_importance_iter=int(cfg.get("N_importance_iter", 1)),
@@ -206,7 +210,9 @@ class NofRunner:
         pts = self.build_octree_pts
         if pts is None:  # fall back to depth-projected cloud
             pts = self._depth_cloud()
-        return build_occupancy_grid(pts, res=res, dilate_radius=dilate_radius)
+        return build_occupancy_grid(pts, res=res, dilate_radius=dilate_radius,
+                                    trace_factor=int(cfg.get("trace_factor",
+                                                             2)))
 
     def _depth_cloud(self):
         pts = []

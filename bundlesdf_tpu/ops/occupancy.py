@@ -27,34 +27,42 @@ import numpy as np
 class OccupancyGrid:
     grid: jnp.ndarray        # (res,res,res) bool — the sampling grid
     res: int                 # static
-    # trace grid: `grid` dilated one extra voxel. The DDA marcher samples
-    # step MIDPOINTS; with step dt and a point of an occupied voxel V on
-    # the ray, some midpoint lies within dt/2 of it, i.e. within
-    # ceil(dt/2/voxel) voxels of V. With dt <= 2*voxel (worst box crossing
-    # 2*sqrt(3) over n_steps >= res) one extra dilation voxel guarantees
-    # that midpoint is marked occupied — no occupied voxel on a ray is
-    # ever skipped (the reference's exact octree intersection property,
+    # trace grid: `grid` dilated one extra voxel, optionally at a COARSER
+    # resolution (trace_res = res // trace_factor, cell = OR of the fine
+    # block). The DDA marcher samples step MIDPOINTS; with step dt and a
+    # point of an occupied voxel V on the ray, some midpoint lies within
+    # dt/2 of it, i.e. within ceil(dt/2/trace_voxel) trace cells of V.
+    # With dt <= 2*trace_voxel (n_steps >= trace_res covers the worst
+    # 2*sqrt(3) box crossing) one extra dilation cell guarantees that
+    # midpoint is marked occupied — no occupied voxel on a ray is ever
+    # skipped (the reference's exact octree intersection property,
     # Utils.py:443-475), at the cost of segments conservatively wider by
-    # <= 1 voxel (the reference dilates its octree too).
+    # <= 1 trace cell (the reference dilates its octree too). The coarse
+    # trace halves the DDA's gather rows (row-count bound on TPU,
+    # docs/PERF.md) at the price of slightly wider sample support.
     trace: jnp.ndarray | None = None
+    trace_res: int | None = None   # static; None -> res
 
     def tree_flatten(self):
-        return (self.grid, self.trace), (self.res,)
+        return (self.grid, self.trace), (self.res, self.trace_res)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], children[1])
+        return cls(children[0], aux[0], children[1],
+                   aux[1] if len(aux) > 1 else None)
 
     @property
     def voxel_size(self) -> float:
         return 2.0 / self.res
 
 
-def build_occupancy_grid(pts, res: int, dilate_radius: int = 1) -> OccupancyGrid:
+def build_occupancy_grid(pts, res: int, dilate_radius: int = 1,
+                         trace_factor: int = 2) -> OccupancyGrid:
     """Voxelize normalized points into a (res,res,res) bool grid and dilate
     by `dilate_radius` voxels with a 27-neighborhood, matching the reference
     dilation loop (`nerf_runner.py:449-464`). Also builds the +1-dilated
-    trace grid (see OccupancyGrid.trace).
+    trace grid at res // trace_factor (see OccupancyGrid.trace; factor 1
+    recovers the round-2 full-res trace).
 
     @pts: (N,3) in [-1,1] (numpy or jnp).
     """
@@ -69,11 +77,18 @@ def build_occupancy_grid(pts, res: int, dilate_radius: int = 1) -> OccupancyGrid
     if dilate_radius > 0:
         grid = ndimage.binary_dilation(grid, iterations=dilate_radius,
                                        structure=st)
-    trace = ndimage.binary_dilation(grid, structure=st)
-    # the trace grid is stored uint8: the DDA gathers 262k cells per render
-    # and 1-bit packed layouts pay a per-row decode that bytes don't
+    f = max(1, int(trace_factor))
+    while res % f:
+        f -= 1
+    tr = res // f
+    coarse = grid.reshape(tr, f, tr, f, tr, f).any(axis=(1, 3, 5))
+    trace = ndimage.binary_dilation(coarse, structure=st)
+    # the trace grid is stored uint8: the DDA gathers one cell per
+    # (ray, step) and 1-bit packed layouts pay a per-row decode that
+    # bytes don't
     return OccupancyGrid(grid=jnp.asarray(grid), res=res,
-                         trace=jnp.asarray(trace, dtype=jnp.uint8))
+                         trace=jnp.asarray(trace, dtype=jnp.uint8),
+                         trace_res=tr)
 
 
 @functools.partial(jax.jit, static_argnames=("use_trace",))
@@ -81,8 +96,12 @@ def query_occupancy(grid: OccupancyGrid, pts, use_trace: bool = False):
     """True where a normalized point lies in an occupied voxel
     (replaces OctreeManager.get_center_ids>=0, Utils.py:392-395).
     @use_trace: query the +1-dilated trace grid instead."""
-    res = grid.res
-    g = grid.trace if (use_trace and grid.trace is not None) else grid.grid
+    if use_trace and grid.trace is not None:
+        g = grid.trace
+        res = grid.trace_res or grid.res
+    else:
+        g = grid.grid
+        res = grid.res
     coords = jnp.floor((pts + 1.0) * (res / 2.0)).astype(jnp.int32)
     inside = jnp.all((coords >= 0) & (coords < res), axis=-1)
     coords = jnp.clip(coords, 0, res - 1)

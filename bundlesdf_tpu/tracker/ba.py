@@ -41,6 +41,16 @@ class BAConfig:
     # already near-aligned, and association gathers are the BA's dominant
     # cost on TPU (row-count bound)
     assoc_radius_refine: int = 2
+    # search the wide first window at this pixel stride (36 offsets instead
+    # of 121 at radius 5) — the first association is coarse by nature and
+    # each offset is a full (P*D)-row gather
+    assoc_stride_first: int = 2
+    # re-associate only in the first `reassoc_iters` GN iterations and
+    # freeze the correspondences afterwards. The reference re-associates
+    # every outer iteration (SolverBundling.cu:1168-1260), but pose deltas
+    # after iteration 2 are far below the association pixel quantum at the
+    # /4 grid; set to n_outer to recover the exact reference schedule.
+    reassoc_iters: int = 2
     n_dense_pts: int = 4096             # valid src points per frame (padded)
     robust_delta: float = 0.005
     w_sparse: float = 1.0               # bundle.w_fm
@@ -55,19 +65,30 @@ def _pose_update(poses, delta, flags):
 
 
 def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
-                     cfg: BAConfig, radius: int):
+                     cfg: BAConfig, radius: int, stride: int = 1):
     """Windowed projective nearest-neighbor association for every ordered
     frame pair. @xyz,@nrm: (N,h,w,3) downsampled maps. @pair_ij: (P,2) int.
     @src_idx/@src_valid: (N,D) flat pixel indices of valid object points per
     frame (padded) — association runs on these D points only, not the full
-    grid (TPU gathers are row-count bound).
-    Returns per (pair, point): tgt point/normal in tgt cam, src point in src
-    cam, found flag, huber weight — all with stop_gradient semantics (the
-    association is fixed during the linearized solve)."""
+    grid.
+
+    TPU structure: XLA gathers are row-count bound (~15ns/row), so instead
+    of one gather per window OFFSET (round-2: (2r+1)^2 passes x P*D rows x
+    2 maps = BA's dominant cost) the search fetches one CONTIGUOUS
+    (1, 2r+1, 6)-slice of the packed xyz|nrm map per v-row — (2r+1)/stride
+    passes of P*D rows total, evaluating the full u-span of each row at no
+    extra row cost. @stride applies to the v-axis only (the u-span rides
+    along free, a candidate superset of the reference's strided grid).
+
+    Returns per (pair, point): tgt point/normal in tgt cam, src point in
+    src cam, found flag, huber weight — all with stop_gradient semantics
+    (the association is fixed during the linearized solve)."""
     N, h, w, _ = xyz.shape
-    P = pair_ij.shape[0]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     cosn = jnp.cos(jnp.deg2rad(cfg.dense_normal_thres_deg))
+    r = radius
+    W = 2 * r + 1
+    packed = jnp.concatenate([xyz, nrm], axis=-1)  # (N,h,w,6)
 
     def per_pair(ij):
         i, j = ij[0], ij[1]
@@ -84,38 +105,46 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
         u = u.astype(jnp.int32)
         v = v.astype(jnp.int32)
 
-        tgt_xyz = xyz[i]
-        tgt_nrm = nrm[i]
-        r = radius
-        offs = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
-                                      jnp.arange(-r, r + 1),
-                                      indexing="ij"), -1).reshape(-1, 2)
+        tgt = packed[i]                                # (h,w,6)
+        # clamped slice start: candidates keep their TRUE coordinates (a
+        # border point sees a shifted-but-valid candidate row)
+        u0 = jnp.clip(u - r, 0, w - W)                 # (D,)
+        in_img = (u >= -r) & (u < w + r) & (v >= -r) & (v < h + r)
 
-        init = (jnp.full(src_p.shape[0], jnp.inf),          # best score
-                jnp.zeros_like(src_p), jnp.zeros_like(src_p))  # best tgt p,n
+        def row_slice(vv, uu):
+            return jax.lax.dynamic_slice(tgt, (vv, uu, 0), (1, W, 6))[0]
 
-        def scan_off(carry, off):
+        D = src_p.shape[0]
+        init = (jnp.full(D, jnp.inf),                  # best score
+                jnp.zeros_like(src_p), jnp.zeros_like(src_p))
+
+        def scan_dy(carry, dy):
             best_s, best_p, best_n = carry
-            vv = v + off[0]
-            uu = u + off[1]
-            inb = (vv >= 0) & (vv < h) & (uu >= 0) & (uu < w)
-            vv = jnp.clip(vv, 0, h - 1)
-            uu = jnp.clip(uu, 0, w - 1)
-            tp = tgt_xyz[vv, uu]
-            tn = tgt_nrm[vv, uu]
-            dist = jnp.linalg.norm(tp - p_tgt, axis=-1)
-            dot = jnp.sum(n_tgt_of_src * tn, axis=-1)
-            ok = inb & (tp[:, 2] > 0.1) & (dist <= cfg.dense_dist_thres) \
-                & (dot >= cosn)
+            v_rc = jnp.clip(v + dy, 0, h - 1)          # (D,)
+            block = jax.vmap(row_slice)(v_rc, u0)      # (D,W,6)
+            tp = block[..., :3]
+            tn = block[..., 3:]
+            dist = jnp.linalg.norm(tp - p_tgt[:, None, :], axis=-1)  # (D,W)
+            dot = jnp.sum(n_tgt_of_src[:, None, :] * tn, axis=-1)
+            ok = (tp[..., 2] > 0.1) & (dist <= cfg.dense_dist_thres) \
+                & (dot >= cosn) & in_img[:, None]
             score = jnp.where(ok, (1.0 - dot) + dist / cfg.dense_dist_thres,
                               jnp.inf)
-            better = score < best_s
-            best_s = jnp.where(better, score, best_s)
-            best_p = jnp.where(better[:, None], tp, best_p)
-            best_n = jnp.where(better[:, None], tn, best_n)
+            s = jnp.min(score, axis=1)
+            k = jnp.argmin(score, axis=1)
+            # one-hot select over the small W axis (take_along_axis would
+            # be another D-row gather per pass)
+            onehot = (jnp.arange(W)[None, :] == k[:, None])[..., None]
+            tp_b = jnp.sum(jnp.where(onehot, tp, 0.0), axis=1)
+            tn_b = jnp.sum(jnp.where(onehot, tn, 0.0), axis=1)
+            better = s < best_s
+            best_s = jnp.where(better, s, best_s)
+            best_p = jnp.where(better[:, None], tp_b, best_p)
+            best_n = jnp.where(better[:, None], tn_b, best_n)
             return (best_s, best_p, best_n), None
 
-        (best_s, best_p, best_n), _ = jax.lax.scan(scan_off, init, offs)
+        dys = jnp.arange(-r, r + 1, stride)
+        (best_s, best_p, best_n), _ = jax.lax.scan(scan_dy, init, dys)
         found = jnp.isfinite(best_s) & src_ok
         # huber weight at the association linearization point
         res0 = jnp.sum((best_p - p_tgt) * best_n, axis=-1)
@@ -133,7 +162,7 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
 def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                   corr_i, corr_j, corr_pi, corr_pj, corr_valid,
                   update_flags, src_idx, src_valid,
-                  cfg: BAConfig = BAConfig()):
+                  cfg: BAConfig = BAConfig(), pair_valid=None):
     """Jointly refine frame poses.
 
     @poses0: (N,4,4) cam-in-model. @K_down: (3,3) intrinsics of the
@@ -147,10 +176,14 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     """
     N = poses0.shape[0]
     flags = update_flags.astype(jnp.float32)
+    if pair_valid is None:
+        pair_valid = jnp.ones(pair_ij.shape[0], jnp.float32)
 
-    def outer(poses, radius: int):
-        assoc = _dense_associate(poses, xyz_down, nrm_down, K_down, pair_ij,
-                                 src_idx, src_valid, cfg, radius)
+    def outer(poses, radius: int, stride: int = 1, assoc=None):
+        if assoc is None:
+            assoc = _dense_associate(poses, xyz_down, nrm_down, K_down,
+                                     pair_ij, src_idx, src_valid, cfg,
+                                     radius, stride=stride)
 
         def residuals(delta):
             T = _pose_update(poses, delta, flags)  # (N,4,4)
@@ -172,7 +205,8 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
             r_dense = jnp.sum((assoc["tgt_p"] - p_in_tgt) * assoc["tgt_n"],
                               axis=-1)
             w_d = jnp.sqrt(cfg.w_dense * assoc["huber"]) \
-                * assoc["found"].astype(jnp.float32)
+                * assoc["found"].astype(jnp.float32) \
+                * pair_valid[:, None]
             r_dense = r_dense * w_d
             return jnp.concatenate([r_sparse.reshape(-1), r_dense.reshape(-1)])
 
@@ -187,14 +221,28 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
             + jnp.diag(jnp.where(pin > 0, cfg.damping, 1.0))
         Jtr = Jtr * pin
         delta = -jnp.linalg.solve(JtJ, Jtr)
-        return _pose_update(poses, delta, flags)
+        return _pose_update(poses, delta, flags), assoc
 
-    # wide association window only on the first iteration (poses may be far
-    # off); refined narrow window afterwards
-    poses = outer(poses0, cfg.assoc_radius)
-    poses = jax.lax.fori_loop(
-        1, cfg.n_outer,
-        lambda it, p: outer(p, cfg.assoc_radius_refine), poses)
+    # wide (strided) association window only on the first iteration (poses
+    # may be far off); narrow window while it < reassoc_iters; then the
+    # association FREEZES in the loop carry and the remaining GN
+    # iterations reuse it. One fori body (assoc shapes are radius-
+    # independent) keeps the compile small.
+    poses, assoc = outer(poses0, cfg.assoc_radius,
+                         stride=max(1, cfg.assoc_stride_first))
+
+    def body(it, carry):
+        poses, assoc = carry
+        assoc = jax.lax.cond(
+            it < cfg.reassoc_iters,
+            lambda p: _dense_associate(p, xyz_down, nrm_down, K_down,
+                                       pair_ij, src_idx, src_valid, cfg,
+                                       cfg.assoc_radius_refine),
+            lambda p: assoc, poses)
+        poses, _ = outer(poses, cfg.assoc_radius_refine, assoc=assoc)
+        return poses, assoc
+
+    poses, _ = jax.lax.fori_loop(1, cfg.n_outer, body, (poses, assoc))
     return poses
 
 

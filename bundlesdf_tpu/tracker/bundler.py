@@ -663,6 +663,26 @@ class Bundler:
             if k > 0 and not f.nerfed:
                 update_flags[k] = 1.0
 
+        # dense-pair pruning (exact): pairs where BOTH frames are pinned
+        # (frame 0 / nerfed) contribute zero gradient, and pairs touching
+        # padded slots have zero maps — but each pair still pays the full
+        # association gather (BA's dominant cost). Keep only live pairs,
+        # padded to a bucket of 8 so the kernel compiles per bucket.
+        live_pairs = [(i, j) for (i, j) in pair_ij
+                      if i < N and j < N
+                      and (update_flags[i] > 0 or update_flags[j] > 0)]
+        # coarse bucket ladder: every distinct bucket is a full BA
+        # recompile (~10s through the tunnel), so prefer a few reusable
+        # sizes over tight padding
+        P_b = next(b for b in (8, 16, 32, 48, 64, 96, 128, 1 << 30)
+                   if b >= len(live_pairs))
+        P_b = min(P_b, max(8, -(-len(pair_ij) // 8) * 8))
+        pair_valid = np.zeros(P_b, np.float32)
+        pair_valid[:len(live_pairs)] = 1.0
+        pair_ij = np.zeros((P_b, 2), np.int32)
+        if live_pairs:
+            pair_ij[:len(live_pairs)] = np.asarray(live_pairs, np.int32)
+
         self._save_ba_poses(frames, "before")
         poses = np.stack([f.pose_in_model for f in frames]
                          + [np.eye(4)] * (N_pad - N)).astype(np.float32)
@@ -703,7 +723,8 @@ class Bundler:
                 jnp.asarray(corr_i_a), jnp.asarray(corr_j_a),
                 jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
                 jnp.asarray(valid), jnp.asarray(update_flags),
-                jnp.asarray(src_idx), jnp.asarray(src_valid), cfg_ba))
+                jnp.asarray(src_idx), jnp.asarray(src_valid), cfg_ba,
+                pair_valid=jnp.asarray(pair_valid)))
 
         # abnormal-pose-change rejection vs temporal neighbor
         # (ref Bundler.cpp:927-946)

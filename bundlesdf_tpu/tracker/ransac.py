@@ -42,7 +42,9 @@ def ransac_pose(key, ptsA, ptsB, normalsA, normalsB, conf, valid,
 
     src = ptsA[idx3]  # (T,3,3)
     dst = ptsB[idx3]
-    poses = jax.vmap(kabsch)(src, dst)  # (T,4,4)
+    # 20 power iterations suffice for trial scoring (the winning pose is
+    # re-estimated exactly from inliers by the host procrustes)
+    poses = jax.vmap(functools.partial(kabsch, power_iters=20))(src, dst)
 
     # inlier eval: (T, M)
     R = poses[:, :3, :3]

@@ -116,7 +116,7 @@ def rot_geodesic_ignore_cam_z(R1, R2):
     return geodesic_distance(R_out, jnp.eye(3, dtype=R_out.dtype)) * (norm > 1e-6)
 
 
-def kabsch(src, dst, weights=None):
+def kabsch(src, dst, weights=None, power_iters: int = 50):
     """Least-squares rigid transform T s.t. T @ src ~= dst.
 
     Same problem as the reference's Umeyama SVD
@@ -159,7 +159,7 @@ def kabsch(src, dst, weights=None):
         v = K @ v
         return v / (jnp.linalg.norm(v) + _EPS)
 
-    q = jax.lax.fori_loop(0, 50, _power, q)
+    q = jax.lax.fori_loop(0, power_iters, _power, q)
     qw, qx, qy, qz = q[0], q[1], q[2], q[3]
     R = jnp.array([
         [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),

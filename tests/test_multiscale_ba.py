@@ -44,13 +44,13 @@ def test_two_scale_loop_sparse_only_first(monkeypatch):
     calls = []
     real_ba = bundler_mod.bundle_adjust
 
-    def spy_ba(poses, K_d, xyz_d, nrm_d, *args):
+    def spy_ba(poses, K_d, xyz_d, nrm_d, *args, **kw):
         cfg_ba = args[-1]
         calls.append({"scale": cfg_ba.image_downscale,
                       "w_sparse": cfg_ba.w_sparse,
                       "w_dense": cfg_ba.w_dense,
                       "hw": tuple(xyz_d.shape[1:3])})
-        return real_ba(poses, K_d, xyz_d, nrm_d, *args)
+        return real_ba(poses, K_d, xyz_d, nrm_d, *args, **kw)
 
     monkeypatch.setattr(bundler_mod, "bundle_adjust", spy_ba)
     b.optimize(frames)
@@ -75,9 +75,9 @@ def test_single_scale_scalar_config_unchanged(monkeypatch):
     calls = []
     real_ba = bundler_mod.bundle_adjust
 
-    def spy_ba(poses, K_d, xyz_d, nrm_d, *args):
+    def spy_ba(poses, K_d, xyz_d, nrm_d, *args, **kw):
         calls.append(args[-1].image_downscale)
-        return real_ba(poses, K_d, xyz_d, nrm_d, *args)
+        return real_ba(poses, K_d, xyz_d, nrm_d, *args, **kw)
 
     monkeypatch.setattr(bundler_mod, "bundle_adjust", spy_ba)
     b.optimize(frames)

@@ -1,5 +1,6 @@
 """Occupancy grid build/query/ray-trace + ray sample placement."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,11 +79,13 @@ def test_sample_pdf_concentrates_mass():
     assert float(frac) > 0.9
 
 
-def test_trace_never_skips_occupied_voxel():
+@pytest.mark.parametrize("trace_factor,n_steps", [(1, 64), (2, 64), (2, 32)])
+def test_trace_never_skips_occupied_voxel(trace_factor, n_steps):
     """VERDICT round-1 item: at res=128-scale step sizes the old midpoint
     DDA could hop over single occupied voxels. With the +1-dilated trace
-    grid, every occupied voxel a ray crosses must overlap a step marked
-    occupied (brute-force fine-walk comparison)."""
+    grid — including the round-3 COARSE trace (trace_factor 2, n_steps
+    down to trace_res) — every occupied voxel a ray crosses must overlap
+    a step marked occupied (brute-force fine-walk comparison)."""
     import numpy as np
     from bundlesdf_tpu.ops.occupancy import (build_occupancy_grid,
                                              ray_trace_occupancy)
@@ -91,10 +94,11 @@ def test_trace_never_skips_occupied_voxel():
     res = 64
     # sparse single voxels -> hardest case for midpoint stepping
     pts = rng.uniform(-0.9, 0.9, (40, 3))
-    grid = build_occupancy_grid(pts, res=res, dilate_radius=0)
+    grid = build_occupancy_grid(pts, res=res, dilate_radius=0,
+                                trace_factor=trace_factor)
     g_np = np.asarray(grid.grid)
 
-    n_rays, n_steps = 256, 64  # dt up to 2*sqrt(3)/64 ~ 1.7 voxels
+    n_rays = 256
     o = rng.uniform(-0.2, 0.2, (n_rays, 3)).astype(np.float32)
     d = rng.standard_normal((n_rays, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
