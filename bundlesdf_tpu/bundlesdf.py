@@ -20,6 +20,7 @@ import logging
 import os
 
 import cv2
+import jax
 import numpy as np
 import yaml
 
@@ -102,6 +103,24 @@ class BundleSdf:
                         and b.new_frame is frame_pairs[0][0])
         if not frame_pairs:
             return
+        # map-point propagation augments net matches with multi-frame
+        # tracks (ref findCorresByMapPoints, feature_corres.map_points)
+        use_map_points = self.cfg_track["feature_corres"].get("map_points",
+                                                              False)
+        fused = self.cfg_track["feature_corres"].get(
+            "fused_matcher", jax.default_backend() != "cpu")
+        if (fused and not use_map_points
+                and hasattr(self.matcher, "_frame_feats")):
+            # ORB match + lift + gate + RANSAC as ONE device program with
+            # ONE pull (tracker/pool.py orb_lift_ransac_slots)
+            min_match_with_ref = \
+                self.cfg_track["feature_corres"]["min_match_with_ref"]
+            n_raw = b.match_pairs_fused(frame_pairs, self.matcher)
+            if is_match_ref and n_raw[0] < min_match_with_ref:
+                b.new_frame.status = FrameStatus.FAIL
+                logging.info(
+                    f"frame {b.new_frame.id_str} FAIL: no matching")
+            return
         if hasattr(self.matcher, "match_frames"):
             # frame-keyed fast path (ORB): rotation-invariant descriptors
             # cached per frame, matched at full res — no per-pair warp
@@ -126,10 +145,6 @@ class BundleSdf:
             raw = [map_matches_back(uv, tfA, tfB)
                    for uv, (tfA, tfB) in zip(raw, tfs)]
 
-        # map-point propagation augments net matches with multi-frame
-        # tracks (ref findCorresByMapPoints, feature_corres.map_points)
-        use_map_points = self.cfg_track["feature_corres"].get("map_points",
-                                                              False)
         if use_map_points:
             merged = []
             for (fA, fB), uv in zip(frame_pairs, raw):

@@ -20,11 +20,14 @@ class OrbMatcher:
     # per-frame feature cache capacity (keyframes + window)
     CACHE_CAP = 256
 
-    def __init__(self, n_features: int = 2000, ratio: float = 0.85):
+    def __init__(self, n_features: int = 2000, ratio: float = 0.85,
+                 feat_cap: int | None = None):
         self.orb = cv2.ORB_create(nfeatures=n_features, fastThreshold=5)
         self.ratio = ratio
         self.bf = cv2.BFMatcher(cv2.NORM_HAMMING)
         self._cache: dict[int, tuple] = {}
+        if feat_cap is not None:
+            self.FEAT_CAP = int(feat_cap)
 
     def _detect(self, img):
         gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) if img.ndim == 3 else img
@@ -109,7 +112,7 @@ class OrbMatcher:
         # it is per-FRAME with no rotation warp, so features are cached)
         vs, us = np.nonzero(mask)
         if len(vs) == 0:
-            entry = (np.zeros((0, 2), np.float32), None, None)
+            entry = (np.zeros((0, 2), np.float32), None, None, None)
             self._cache[frame.id] = entry
             return entry
         m = 10
@@ -128,7 +131,7 @@ class OrbMatcher:
             zoom_uv = (1.0, 1.0)
         kps, des = self.orb.detectAndCompute(crop, cmask)
         if des is None or len(kps) == 0:
-            entry = (np.zeros((0, 2), np.float32), None, None)
+            entry = (np.zeros((0, 2), np.float32), None, None, None)
         else:
             uv = (np.array([k.pt for k in kps], np.float32) / zoom_uv
                   + (u0, v0))
@@ -141,7 +144,9 @@ class OrbMatcher:
             bits = np.unpackbits(des, axis=1).astype(np.int8) * 2 - 1
             bits_p = np.zeros((self.FEAT_CAP, bits.shape[1]), np.int8)
             bits_p[:len(bits)] = bits
-            entry = (uv, des, jnp.asarray(bits_p))
+            uv_p = np.zeros((self.FEAT_CAP, 2), np.float32)
+            uv_p[:len(uv)] = uv
+            entry = (uv, des, jnp.asarray(bits_p), jnp.asarray(uv_p))
         if len(self._cache) >= self.CACHE_CAP:
             self._cache.pop(next(iter(self._cache)))
         self._cache[frame.id] = entry
@@ -153,7 +158,7 @@ class OrbMatcher:
         dispatch matches every pair."""
         feats = [(self._frame_feats(fA), self._frame_feats(fB))
                  for fA, fB in frame_pairs]
-        live = [i for i, ((_, dA, _), (_, dB, _)) in enumerate(feats)
+        live = [i for i, ((_, dA, *_), (_, dB, *_)) in enumerate(feats)
                 if dA is not None and dB is not None]
         out = [np.zeros((0, 5), np.float32)] * len(frame_pairs)
         if not live:
@@ -161,7 +166,7 @@ class OrbMatcher:
         if jax.default_backend() == "cpu":
             # the MXU matmul matcher loses to cv2's SIMD hamming on CPU
             for i in live:
-                (uvA, dA, _), (uvB, dB, _) = feats[i]
+                (uvA, dA, *_), (uvB, dB, *_) = feats[i]
                 out[i] = self._match_feats_np(uvA, dA, uvB, dB)
             return out
         # pair-count bucket: each distinct P compiles its own program
@@ -175,20 +180,22 @@ class OrbMatcher:
         nA = np.zeros(P, np.int32)
         nB = np.zeros(P, np.int32)
         for k, i in enumerate(live):
-            (uvA, _, bitsA), (uvB, _, bitsB) = feats[i]
+            (uvA, _, bitsA, _), (uvB, _, bitsB, _) = feats[i]
             colA.append(bitsA)
             colB.append(bitsB)
             nA[k], nB[k] = len(uvA), len(uvB)
         colA += [zero] * (P - len(live))
         colB += [zero] * (P - len(live))
-        # device-side stack of cached device arrays — no host re-upload
-        res = _orb_match_batch(jnp.stack(colA), jnp.stack(colB),
-                               jnp.asarray(nA), jnp.asarray(nB),
-                               float(self.ratio), nbits)
-        j_best, accept, dist = (np.asarray(res["j"]), np.asarray(res["ok"]),
-                                np.asarray(res["dist"]))
+        # cached device arrays go in as a tuple pytree and are stacked
+        # INSIDE the program (a host-side jnp.stack was one extra dispatch
+        # = one extra tunnel RTT per call); ONE device_get pulls all three
+        # outputs together
+        res = jax.device_get(_orb_match_batch(
+            tuple(colA), tuple(colB), jnp.asarray(nA), jnp.asarray(nB),
+            float(self.ratio), nbits))
+        j_best, accept, dist = res["j"], res["ok"], res["dist"]
         for k, i in enumerate(live):
-            (uvA, _, _), (uvB, _, _) = feats[i]
+            (uvA, *_), (uvB, *_) = feats[i]
             sel = np.nonzero(accept[k, :len(uvA)])[0]
             j = j_best[k, sel]
             conf = 1.0 / (1.0 + dist[k, sel] / 64.0)
@@ -202,11 +209,20 @@ class OrbMatcher:
 def _orb_match_batch(bitsA, bitsB, nA, nB, ratio: float, nbits: int):
     """Batched mutual-ratio hamming matching on the MXU.
 
-    @bitsA/@bitsB: (P,F,nbits) +/-1 floats (padded rows are all -1 but are
-    masked out via @nA/@nB). sim = bitsA @ bitsB^T in [-nbits, nbits];
-    hamming = (nbits - sim)/2. Ratio test (best < ratio * second-best) in
-    both directions + mutual-NN, exactly the host _match_feats semantics.
+    @bitsA/@bitsB: length-P tuples of (F,nbits) +/-1 int8 arrays (padded
+    rows are all -1 but are masked out via @nA/@nB); stacked in-program.
+    sim = bitsA @ bitsB^T in [-nbits, nbits]; hamming = (nbits - sim)/2.
+    Ratio test (best < ratio * second-best) in both directions + mutual-NN,
+    exactly the host _match_feats semantics.
     """
+    return orb_match_core(jnp.stack(bitsA), jnp.stack(bitsB), nA, nB,
+                          ratio, nbits)
+
+
+def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits):
+    """Traceable core of the batched MXU hamming matcher (shared with the
+    fused orb+lift+RANSAC program, tracker/pool.py).
+    @bitsA/@bitsB: (P,F,nbits) stacked +/-1 int8."""
     def one(bA, bB, na, nb):
         # int8 +/-1 bits -> bf16 for the MXU; f32 accumulation is exact
         # (sums bounded by nbits=256)

@@ -246,6 +246,54 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     return poses
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "factor"))
+def bundle_adjust_pooled(pool_xyzs, pool_nrms, slots, slot_live, poses0, K,
+                         pair_ij, corr_i, corr_j, corr_pi, corr_pj,
+                         corr_valid, update_flags, src_idx, src_valid,
+                         factor: int, cfg: BAConfig = BAConfig(),
+                         pair_valid=None, pool_valids=None, nf_idx=None,
+                         kf_slots=None, kf_poses=None, kf_window_idx=None,
+                         covis_thres_cos=None):
+    """bundle_adjust fed straight from the FramePool: the slot gather, the
+    padded-slot zeroing, and the /factor downsample run inside the SAME
+    program (the round-3 driver paid 4-5 extra dispatches per BA call for
+    gather_slots + concat-pad + downsample through the tunnel).
+
+    @slots: (N_pad,) pool slots (padded entries point anywhere);
+    @slot_live: (N_pad,) 1.0 for real frames, 0.0 for padding (zeroes the
+    maps, so padded frames contribute no dense residuals).
+
+    When the admission args are given (@pool_valids, @nf_idx, @kf_slots
+    (KF,), @kf_poses (KF,4,4), @kf_window_idx (KF,) int32 index into the
+    BA window or -1, @covis_thres_cos), the program ALSO computes the
+    keyframe-admission covisibility of the new frame against every
+    keyframe at the POST-BA poses (ref checkAndAddKeyframe
+    Bundler.cpp:263-323 runs right after optimizeGPU) — the driver then
+    needs zero extra dispatches for admission. Returns (poses, covis)
+    in that case, else poses."""
+    from bundlesdf_tpu.tracker.pool import covis_core
+
+    live = slot_live[:, None, None, None]
+    xyz = pool_xyzs[slots] * live
+    nrm = pool_nrms[slots] * live
+    xyz_d, nrm_d, K_d = downsample_maps(xyz, nrm, K, factor)
+    poses = bundle_adjust(poses0, K_d, xyz_d, nrm_d, pair_ij, corr_i,
+                          corr_j, corr_pi, corr_pj, corr_valid,
+                          update_flags, src_idx, src_valid, cfg,
+                          pair_valid=pair_valid)
+    if nf_idx is None:
+        return poses
+    nf_pose = poses[nf_idx]
+    in_window = kf_window_idx >= 0
+    kf_pose_eff = jnp.where(in_window[:, None, None],
+                            poses[jnp.maximum(kf_window_idx, 0)], kf_poses)
+    Ts = jnp.linalg.inv(kf_pose_eff) @ nf_pose  # nf cam -> kf cam
+    src_slots = jnp.full(kf_slots.shape, slots[nf_idx])
+    covis = covis_core(pool_xyzs, pool_nrms, pool_valids, src_slots, Ts,
+                       covis_thres_cos)
+    return poses, covis
+
+
 def downsample_maps(xyz, nrm, K, factor: int):
     """Stride-subsample xyz/normal maps + intrinsics for the dense term
     (replaces `CUDACache` construction, `LossGPU.cpp:93-99`)."""

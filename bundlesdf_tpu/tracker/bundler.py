@@ -15,10 +15,11 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-from bundlesdf_tpu.tracker.ba import BAConfig, bundle_adjust, downsample_maps
+from bundlesdf_tpu.tracker.ba import BAConfig, bundle_adjust_pooled
 from bundlesdf_tpu.tracker.frame import Frame, FrameStatus
 from bundlesdf_tpu.tracker.pool import (FramePool, covis_slots, gather_slots,
-                                        lift_ransac_slots)
+                                        lift_ransac_slots,
+                                        orb_lift_ransac_slots)
 from bundlesdf_tpu.utils.se3 import kabsch_np, rot_geodesic_ignore_cam_z_np
 
 
@@ -223,6 +224,100 @@ class Bundler:
             if viz:
                 self.viz_corres_between(fA, fB, "after_ransac")
 
+    def match_pairs_fused(self, frame_pairs, matcher):
+        """The whole find_corres device path as ONE dispatch + ONE pull:
+        batched ORB matching + top-M selection + lifting + 3D gating +
+        multi-pair RANSAC (`orb_lift_ransac_slots`). Semantics match
+        match_frames -> match_pairs. Returns per-pair pre-RANSAC raw match
+        counts (the min_match_with_ref gate input)."""
+        cfg = self.cfg["ransac"]
+        M = self.MATCH_CAP
+        feats = [(matcher._frame_feats(fA), matcher._frame_feats(fB))
+                 for fA, fB in frame_pairs]
+        live = []
+        n_raw_out = [0] * len(frame_pairs)
+        for i, ((_, dA, *_), (_, dB, *_)) in enumerate(feats):
+            if dA is None or dB is None:
+                fA, fB = frame_pairs[i]
+                self.matches[(fA.id, fB.id)] = None
+            else:
+                live.append(i)
+        if not live:
+            return n_raw_out
+
+        P = next(b for b in (1, 8, 16, 32, 64, 128, 256) if b >= len(live))
+        F = matcher.FEAT_CAP
+        nbits = feats[live[0]][0][2].shape[1]
+        zero_bits = jnp.zeros((F, nbits), jnp.int8)
+        zero_uv = jnp.zeros((F, 2), jnp.float32)
+        colA, colB, uvcA, uvcB = [], [], [], []
+        nA = np.zeros(P, np.int32)
+        nB = np.zeros(P, np.int32)
+        slots_a = np.zeros(P, np.int32)
+        slots_b = np.zeros(P, np.int32)
+        TA = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        TB = TA.copy()
+        caps = np.full((P, 2), np.inf, np.float32)
+        for k, i in enumerate(live):
+            fA, fB = frame_pairs[i]
+            (uvA_h, _, bA, uA_d), (uvB_h, _, bB, uB_d) = feats[i]
+            colA.append(bA)
+            colB.append(bB)
+            uvcA.append(uA_d)
+            uvcB.append(uB_d)
+            nA[k], nB[k] = len(uvA_h), len(uvB_h)
+            slots_a[k] = self._slot(fA)
+            slots_b[k] = self._slot(fB)
+            TA[k] = fA.pose_in_model.astype(np.float32)
+            TB[k] = fB.pose_in_model.astype(np.float32)
+            if fA.ref_frame_id == fB.id and fA.id == fB.id + 1:
+                caps[k] = (cfg["max_trans_neighbor"],
+                           np.deg2rad(cfg["max_rot_deg_neighbor"]))
+            elif fA.ref_frame_id != fB.id:
+                caps[k] = (cfg["max_trans_no_neighbor"],
+                           np.deg2rad(cfg["max_rot_no_neighbor"]))
+        colA += [zero_bits] * (P - len(live))
+        colB += [zero_bits] * (P - len(live))
+        uvcA += [zero_uv] * (P - len(live))
+        uvcB += [zero_uv] * (P - len(live))
+
+        self._key, k_ = jax.random.split(self._key)
+        keys = np.asarray(jax.random.split(k_, P))
+        pool = self.pool
+        res = jax.device_get(orb_lift_ransac_slots(
+            pool.xyzs, pool.nrms, tuple(colA), tuple(colB), tuple(uvcA),
+            tuple(uvcB), jnp.asarray(nA), jnp.asarray(nB),
+            jnp.asarray(slots_a), jnp.asarray(slots_b), jnp.asarray(TA),
+            jnp.asarray(TB), jnp.asarray(caps[:, 0]),
+            jnp.asarray(caps[:, 1]), jnp.asarray(keys), cfg["inlier_dist"],
+            float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
+            ratio=float(matcher.ratio), nbits=int(nbits),
+            m_cap=min(M, F), n_trials=int(cfg["max_iter"])))
+
+        for k, i in enumerate(live):
+            fA, fB = frame_pairs[i]
+            n_raw_out[i] = int(res["n_raw"][k])
+            key = (fA.id, fB.id)
+            ok = res["ok"][k]
+            pre = {"uvA": res["uvA"][k][ok], "uvB": res["uvB"][k][ok],
+                   "pA_cam": res["pA_cam"][k][ok],
+                   "pB_cam": res["pB_cam"][k][ok],
+                   "nA_cam": res["nA_cam"][k][ok],
+                   "nB_cam": res["nB_cam"][k][ok],
+                   "conf": res["conf"][k][ok]}
+            self.matches[key] = pre
+            self.viz_corres_between(fA, fB, "before_ransac")
+            inlier = res["inlier_mask"][k]
+            if inlier.sum() < cfg["min_match_after_ransac"]:
+                logging.info(f"ransac {fA.id_str}-{fB.id_str}: "
+                             f"{int(inlier.sum())} inliers, cleared")
+                self.matches[key] = None
+                continue
+            keep = inlier[ok]
+            self.matches[key] = {k2: v[keep] for k2, v in pre.items()}
+            self.viz_corres_between(fA, fB, "after_ransac")
+        return n_raw_out
+
     def n_matches(self, fA: Frame, fB: Frame) -> int:
         m = self.matches.get((fA.id, fB.id))
         return 0 if m is None else len(m["conf"])
@@ -349,6 +444,10 @@ class Bundler:
 
     def select_keyframes_for_ba(self):
         max_ba = self.cfg["bundle"]["max_BA_frames"]
+        # covis values computed here are valid until the next pose change
+        # (BA) — get_feature_match_pairs runs in between with the SAME
+        # poses and reuses them instead of re-dispatching
+        self._covis_pre_ba = {}
         if len(self.keyframes) + 1 <= max_ba:
             frames = [self.new_frame] + [kf for kf in self.keyframes
                                          if kf is not self.new_frame]
@@ -366,6 +465,8 @@ class Bundler:
             # covisibility with the new frame, descending (ref :501-526)
             frames = {nf}
             scores = self.covisibility_many(nf, pool)
+            self._covis_pre_ba = {(nf.id, kf.id): float(v)
+                                  for kf, v in zip(pool, scores)}
             for i in np.argsort(-scores):
                 frames.add(pool[i])
                 if len(frames) == max_ba:
@@ -536,8 +637,22 @@ class Bundler:
                 cands.append((fA, fB))
         pairs = []
         # ONE dispatch for the whole covisibility gate (round-2: one
-        # dispatch per source frame)
-        vis = self.covisibility_pairs(cands)
+        # dispatch per source frame); values already computed by
+        # select_keyframes_for_ba under the SAME poses are reused, which
+        # makes this dispatch-free in the steady state (all candidates are
+        # (new_frame, keyframe) pairs scored during window selection)
+        cache = getattr(self, "_covis_pre_ba", {})
+        vis = np.empty(len(cands), np.float32)
+        unknown, unknown_at = [], []
+        for idx, (fA, fB) in enumerate(cands):
+            v = cache.get((fA.id, fB.id))  # NOT symmetric: source is fA
+            if v is None:
+                unknown.append((fA, fB))
+                unknown_at.append(idx)
+            else:
+                vis[idx] = v
+        if unknown:
+            vis[np.asarray(unknown_at)] = self.covisibility_pairs(unknown)
         for (fA, fB), v in zip(cands, vis):
             if v < min_vis:
                 self.matches[(fA.id, fB.id)] = None
@@ -636,7 +751,13 @@ class Bundler:
             self.new_frame.status = FrameStatus.FAIL
             return
 
-        C = _round_up(len(corr_i))
+        # coarse pow-2 ladder: the total sparse-corres count fluctuates
+        # every frame, and each distinct C is a full BA recompile (~10-17 s
+        # through the tunnel) — with a 256-step ladder the steady state
+        # recompiled almost every frame
+        C = 1024
+        while C < len(corr_i):
+            C *= 2
         corr_i_a = _pad_to(np.array(corr_i, np.int32), C)
         corr_j_a = _pad_to(np.array(corr_j, np.int32), C)
         pi_a = _pad_to(np.concatenate(pi), C)
@@ -647,12 +768,10 @@ class Bundler:
         # padded slots get zero maps (no dense residuals) and pinned poses
         N_pad = int(bcfg["max_BA_frames"])
         N = len(frames)
-        slots = np.array([self._slot(f) for f in frames], np.int32)
-        xyz_n = gather_slots(self.pool.xyzs, jnp.asarray(slots))
-        nrm_n = gather_slots(self.pool.nrms, jnp.asarray(slots))
-        pad_shape = (N_pad - N, self.pool.H, self.pool.W, 3)
-        xyz = jnp.concatenate([xyz_n, jnp.zeros(pad_shape, jnp.float32)])
-        nrm = jnp.concatenate([nrm_n, jnp.zeros(pad_shape, jnp.float32)])
+        slots = np.zeros(N_pad, np.int32)
+        slots[:N] = [self._slot(f) for f in frames]
+        slot_live = np.zeros(N_pad, np.float32)
+        slot_live[:N] = 1.0
         scales = (bcfg["image_downscale"]
                   if isinstance(bcfg["image_downscale"], (list, tuple))
                   else [bcfg["image_downscale"]])
@@ -686,15 +805,28 @@ class Bundler:
         self._save_ba_poses(frames, "before")
         poses = np.stack([f.pose_in_model for f in frames]
                          + [np.eye(4)] * (N_pad - N)).astype(np.float32)
+
+        # keyframe-admission covisibility rides the LAST BA dispatch
+        # (checkAndAddKeyframe needs covis at post-BA poses; computing it
+        # inside the same program saves one dispatch + pull per frame)
+        kfs = self.keyframes
+        KF = -(-max(len(kfs), 1) // 8) * 8
+        kf_slots = np.zeros(KF, np.int32)
+        kf_poses = np.tile(np.eye(4, dtype=np.float32), (KF, 1, 1))
+        kf_window_idx = np.full(KF, -1, np.int32)
+        for k, kf in enumerate(kfs):
+            kf_slots[k] = self._slot(kf)
+            kf_poses[k] = kf.pose_in_model.astype(np.float32)
+            kf_window_idx[k] = idx_of.get(kf.id, -1)
+        nf_idx = idx_of[self.new_frame.id]
+        thres_cos = float(np.cos(np.deg2rad(self.cfg["visible_angle"])))
+        covis_h = None
         # coarse-to-fine scale loop (ref LossGPU.cpp:79-131): the sparse
         # feature-match term runs only at the FIRST scale; later scales
         # refine with the dense p2p term alone (m_localWeightsSparse
         # resized to 0 for iter>0, LossGPU.cpp:110-113)
         for it, scale in enumerate(scales):
             factor = int(scale)
-            xyz_d, nrm_d, K_d = downsample_maps(
-                xyz, nrm, frames[0].K.astype(np.float32), factor)
-
             cfg_ba = BAConfig(
                 n_outer=bcfg["num_iter_outter"],
                 image_downscale=factor,
@@ -718,12 +850,14 @@ class Bundler:
                 src_idx[k, :len(flat)] = flat
                 src_valid[k, :len(flat)] = True
 
-            poses = np.asarray(bundle_adjust(
-                jnp.asarray(poses), K_d, xyz_d, nrm_d, jnp.asarray(pair_ij),
+            poses = np.asarray(bundle_adjust_pooled(
+                self.pool.xyzs, self.pool.nrms, jnp.asarray(slots),
+                jnp.asarray(slot_live), jnp.asarray(poses),
+                jnp.asarray(frames[0].K, jnp.float32), jnp.asarray(pair_ij),
                 jnp.asarray(corr_i_a), jnp.asarray(corr_j_a),
                 jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
                 jnp.asarray(valid), jnp.asarray(update_flags),
-                jnp.asarray(src_idx), jnp.asarray(src_valid), cfg_ba,
+                jnp.asarray(src_idx), jnp.asarray(src_valid), factor, cfg_ba,
                 pair_valid=jnp.asarray(pair_valid)))
 
         # abnormal-pose-change rejection vs temporal neighbor

@@ -89,6 +89,12 @@ def covis_slots(xyzs, nrms, valids, slots, Ts, thres_cos):
     """Covisibility for a batch of (source slot, A_in_B transform) items
     in one dispatch (ref Frame.h:122-165, stride-2 loop :142-165).
     @slots: (P,) int32; @Ts: (P,4,4). Returns (P,) fractions."""
+    return covis_core(xyzs, nrms, valids, slots, Ts, thres_cos)
+
+
+def covis_core(xyzs, nrms, valids, slots, Ts, thres_cos):
+    """Traceable covisibility core (shared with the BA+admission fused
+    program, tracker/ba.py)."""
 
     def one(slot, T):
         xyz = xyzs[slot][::2, ::2].reshape(-1, 3)
@@ -124,6 +130,14 @@ def lift_ransac_slots(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
     the 3D-validity gate `ok` (P,M), RANSAC `inlier_mask` (P,M) and
     `n_inliers` (P,). One dispatch; one host pull gets everything.
     """
+    return _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid,
+                             conf, TA, TB, cap_t, cap_r, key, inlier_dist,
+                             cos_normal_angle, n_trials)
+
+
+def _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
+                      TA, TB, cap_t, cap_r, key, inlier_dist,
+                      cos_normal_angle, n_trials: int):
     cap, H, W, _ = xyzs.shape
     xyz_flat = xyzs.reshape(cap * H * W, 3)
     nrm_flat = nrms.reshape(cap * H * W, 3)
@@ -153,6 +167,72 @@ def lift_ransac_slots(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
     return {"pA_cam": pA, "pB_cam": pB, "nA_cam": nA, "nB_cam": nB,
             "ok": ok, "inlier_mask": out["inlier_mask"] & ok,
             "n_inliers": out["n_inliers"]}
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "nbits", "m_cap",
+                                             "n_trials", "k_pull"))
+def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
+                          slots_a, slots_b, TA, TB, cap_t, cap_r, key,
+                          inlier_dist, cos_normal_angle, ratio: float,
+                          nbits: int, m_cap: int, n_trials: int = 2000,
+                          k_pull: int = 0):
+    """The WHOLE find_corres device path as one program: batched MXU ORB
+    matching (mutual ratio test) -> top-`m_cap` match selection by
+    confidence -> correspondence lifting from the pool -> 3D gating ->
+    multi-pair RANSAC. One dispatch + one host pull per find_corres call
+    (the split matcher/lifter paid 2 dispatches + 2 pulls = ~4 tunnel
+    RTTs per call).
+
+    @bitsA/@bitsB: length-P tuples of (F,nbits) +/-1 int8 descriptor
+    expansions (device-cached per frame); @uvfA/@uvfB: length-P tuples of
+    (F,2) float32 full-res keypoint coords; @nA/@nB: (P,) real feature
+    counts. Other args as `lift_ransac_slots`.
+
+    Returns the lift_ransac_slots dict plus `uvA`/`uvB` (P,m_cap,2) int32
+    matched pixel coords, `conf` (P,m_cap), and `n_raw` (P,) pre-RANSAC
+    match counts (the min_match_with_ref FAIL gate input).
+
+    With @k_pull > 0 the result is instead COMPACTED on device to the
+    post-RANSAC inliers (top-k_pull by confidence, uv as int16) — the
+    pull shrinks ~5x (uvA/uvB/conf/pA_cam/pB_cam for k_pull rows plus
+    counts), which matters because the dev tunnel moves ~30 MB/s: the
+    full (P=16, M=1024) dict costs ~1.3 MB ~= 70 ms per pull.
+    """
+    from bundlesdf_tpu.matcher.classical import orb_match_core
+
+    match = orb_match_core(jnp.stack(bitsA), jnp.stack(bitsB), nA, nB,
+                           ratio, nbits)
+    conf_all = jnp.where(match["ok"],
+                         1.0 / (1.0 + match["dist"] / 64.0), 0.0)  # (P,F)
+    n_raw = jnp.sum(match["ok"], axis=1).astype(jnp.int32)
+    conf, sel = jax.lax.top_k(conf_all, m_cap)                     # (P,M)
+    valid = conf > 0
+    uvA_f = jnp.take_along_axis(jnp.stack(uvfA), sel[..., None], axis=1)
+    j_sel = jnp.take_along_axis(match["j"], sel, axis=1)
+    uvB_f = jnp.take_along_axis(jnp.stack(uvfB), j_sel[..., None], axis=1)
+    H, W = xyzs.shape[1:3]
+    hi = jnp.array([W - 1, H - 1], jnp.int32)
+    uvA = jnp.clip(jnp.round(uvA_f).astype(jnp.int32), 0, hi)
+    uvB = jnp.clip(jnp.round(uvB_f).astype(jnp.int32), 0, hi)
+    out = _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid,
+                            conf, TA, TB, cap_t, cap_r, key, inlier_dist,
+                            cos_normal_angle, n_trials)
+    if k_pull <= 0:
+        out.update(uvA=uvA, uvB=uvB, conf=conf, n_raw=n_raw)
+        return out
+    score = jnp.where(out["inlier_mask"], conf, 0.0)
+    sc, order = jax.lax.top_k(score, min(k_pull, conf.shape[1]))
+
+    def take(a):
+        idx = order[..., None] if a.ndim == 3 else order
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    return {"uvA": take(uvA).astype(jnp.int16),
+            "uvB": take(uvB).astype(jnp.int16),
+            "conf": sc,
+            "pA_cam": take(out["pA_cam"]), "pB_cam": take(out["pB_cam"]),
+            "n_in": jnp.sum(out["inlier_mask"], axis=1).astype(jnp.int32),
+            "n_inliers": out["n_inliers"], "n_raw": n_raw}
 
 
 @jax.jit

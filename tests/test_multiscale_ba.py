@@ -42,17 +42,18 @@ def test_two_scale_loop_sparse_only_first(monkeypatch):
     b, frames = _build(cfg)
 
     calls = []
-    real_ba = bundler_mod.bundle_adjust
+    real_ba = bundler_mod.bundle_adjust_pooled
 
-    def spy_ba(poses, K_d, xyz_d, nrm_d, *args, **kw):
+    def spy_ba(pool_xyzs, pool_nrms, *args, **kw):
         cfg_ba = args[-1]
+        factor = args[-2]
         calls.append({"scale": cfg_ba.image_downscale,
                       "w_sparse": cfg_ba.w_sparse,
                       "w_dense": cfg_ba.w_dense,
-                      "hw": tuple(xyz_d.shape[1:3])})
-        return real_ba(poses, K_d, xyz_d, nrm_d, *args, **kw)
+                      "h": pool_xyzs.shape[1] // factor})
+        return real_ba(pool_xyzs, pool_nrms, *args, **kw)
 
-    monkeypatch.setattr(bundler_mod, "bundle_adjust", spy_ba)
+    monkeypatch.setattr(bundler_mod, "bundle_adjust_pooled", spy_ba)
     b.optimize(frames)
 
     assert [c["scale"] for c in calls] == [4, 2]
@@ -60,7 +61,7 @@ def test_two_scale_loop_sparse_only_first(monkeypatch):
     assert calls[1]["w_sparse"] == 0.0       # dense-only after scale 0
     assert calls[1]["w_dense"] > 0
     # the second scale really runs on the finer grid
-    assert calls[1]["hw"][0] == 2 * calls[0]["hw"][0]
+    assert calls[1]["h"] == 2 * calls[0]["h"]
     # poses stay finite and frame 0 stays pinned
     assert np.isfinite(frames[-1].pose_in_model).all()
     np.testing.assert_allclose(frames[0].pose_in_model,
@@ -73,12 +74,12 @@ def test_single_scale_scalar_config_unchanged(monkeypatch):
     cfg["bundle"]["image_downscale"] = 4  # scalar form
     b, frames = _build(cfg)
     calls = []
-    real_ba = bundler_mod.bundle_adjust
+    real_ba = bundler_mod.bundle_adjust_pooled
 
-    def spy_ba(poses, K_d, xyz_d, nrm_d, *args, **kw):
+    def spy_ba(*args, **kw):
         calls.append(args[-1].image_downscale)
-        return real_ba(poses, K_d, xyz_d, nrm_d, *args, **kw)
+        return real_ba(*args, **kw)
 
-    monkeypatch.setattr(bundler_mod, "bundle_adjust", spy_ba)
+    monkeypatch.setattr(bundler_mod, "bundle_adjust_pooled", spy_ba)
     b.optimize(frames)
     assert calls == [4]
