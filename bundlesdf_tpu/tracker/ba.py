@@ -24,6 +24,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bundlesdf_tpu.utils.se3 import se3_exp
 
@@ -72,13 +73,24 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
     frame (padded) — association runs on these D points only, not the full
     grid.
 
-    TPU structure: XLA gathers are row-count bound (~15ns/row), so instead
-    of one gather per window OFFSET (round-2: (2r+1)^2 passes x P*D rows x
-    2 maps = BA's dominant cost) the search fetches one CONTIGUOUS
-    (1, 2r+1, 6)-slice of the packed xyz|nrm map per v-row — (2r+1)/stride
-    passes of P*D rows total, evaluating the full u-span of each row at no
-    extra row cost. @stride applies to the v-axis only (the u-span rides
-    along free, a candidate superset of the reference's strided grid).
+    TPU structure (profiled on-chip, see docs/PERF.md round 3):
+      1. ONE (W,W,6) patch dynamic-slice per src point — per-slice cost on
+         TPU is near-flat in slice bytes (~100-150 ns row-descriptor
+         bound), so D slices beat both the per-offset gather (round 2,
+         (2r+1)^2 * D rows) and the per-dy row gather (ndy * D rows).
+      2. Lane-major scoring: every (D,*) tensor is transposed so D rides
+         the 128-lane axis — (taps, D) layouts keep the VPU full where the
+         (D, ndy, W) layout ran ~5-wide.
+      3. The per-frame src point/normal gathers are hoisted OUT of the
+         per-pair vmap (N*D rows once instead of P*D*2 rows).
+    @stride applies to the v-axis of the window (taps are the strided rows
+    of the full patch; u-span rides along free — a candidate superset of
+    the reference's strided grid).
+
+    Border semantics: the patch start is clamped so the whole (W,W) window
+    lies in-image (a border point sees a shifted-but-valid window); the
+    reference clips per-candidate instead. Identical except within r px of
+    the image border, where the object never lives at these workloads.
 
     Returns per (pair, point): tgt point/normal in tgt cam, src point in
     src cam, found flag, huber weight — all with stop_gradient semantics
@@ -89,12 +101,20 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
     r = radius
     W = 2 * r + 1
     packed = jnp.concatenate([xyz, nrm], axis=-1)  # (N,h,w,6)
+    sel_dy = np.arange(0, W, stride)
+    n_taps = len(sel_dy) * W
+
+    # per-frame src gathers, hoisted out of the pair loop
+    src_p_all = jnp.take_along_axis(xyz.reshape(N, -1, 3),
+                                    src_idx[..., None], axis=1)  # (N,D,3)
+    src_n_all = jnp.take_along_axis(nrm.reshape(N, -1, 3),
+                                    src_idx[..., None], axis=1)
 
     def per_pair(ij):
         i, j = ij[0], ij[1]
         T = jnp.linalg.inv(poses[i]) @ poses[j]  # src(j) cam -> tgt(i) cam
-        src_p = xyz[j].reshape(-1, 3)[src_idx[j]]
-        src_n = nrm[j].reshape(-1, 3)[src_idx[j]]
+        src_p = src_p_all[j]
+        src_n = src_n_all[j]
         src_ok = src_valid[j] & (src_p[:, 2] > cfg.dense_depth_min) \
             & (src_p[:, 2] < cfg.dense_depth_max) \
             & (jnp.abs(src_n[:, 0]) > 0)
@@ -106,45 +126,37 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
         v = v.astype(jnp.int32)
 
         tgt = packed[i]                                # (h,w,6)
-        # clamped slice start: candidates keep their TRUE coordinates (a
-        # border point sees a shifted-but-valid candidate row)
         u0 = jnp.clip(u - r, 0, w - W)                 # (D,)
+        v0 = jnp.clip(v - r, 0, h - W)
         in_img = (u >= -r) & (u < w + r) & (v >= -r) & (v < h + r)
-
-        def row_slice(vv, uu):
-            return jax.lax.dynamic_slice(tgt, (vv, uu, 0), (1, W, 6))[0]
-
         D = src_p.shape[0]
-        init = (jnp.full(D, jnp.inf),                  # best score
-                jnp.zeros_like(src_p), jnp.zeros_like(src_p))
 
-        def scan_dy(carry, dy):
-            best_s, best_p, best_n = carry
-            v_rc = jnp.clip(v + dy, 0, h - 1)          # (D,)
-            block = jax.vmap(row_slice)(v_rc, u0)      # (D,W,6)
-            tp = block[..., :3]
-            tn = block[..., 3:]
-            dist = jnp.linalg.norm(tp - p_tgt[:, None, :], axis=-1)  # (D,W)
-            dot = jnp.sum(n_tgt_of_src[:, None, :] * tn, axis=-1)
-            ok = (tp[..., 2] > 0.1) & (dist <= cfg.dense_dist_thres) \
-                & (dot >= cosn) & in_img[:, None]
-            score = jnp.where(ok, (1.0 - dot) + dist / cfg.dense_dist_thres,
-                              jnp.inf)
-            s = jnp.min(score, axis=1)
-            k = jnp.argmin(score, axis=1)
-            # one-hot select over the small W axis (take_along_axis would
-            # be another D-row gather per pass)
-            onehot = (jnp.arange(W)[None, :] == k[:, None])[..., None]
-            tp_b = jnp.sum(jnp.where(onehot, tp, 0.0), axis=1)
-            tn_b = jnp.sum(jnp.where(onehot, tn, 0.0), axis=1)
-            better = s < best_s
-            best_s = jnp.where(better, s, best_s)
-            best_p = jnp.where(better[:, None], tp_b, best_p)
-            best_n = jnp.where(better[:, None], tn_b, best_n)
-            return (best_s, best_p, best_n), None
+        def patch(vv, uu):
+            return jax.lax.dynamic_slice(tgt, (vv, uu, 0), (W, W, 6))
 
-        dys = jnp.arange(-r, r + 1, stride)
-        (best_s, best_p, best_n), _ = jax.lax.scan(scan_dy, init, dys)
+        block = jax.vmap(patch)(v0, u0)                # (D,W,W,6)
+        block = block[:, sel_dy]                       # (D,ndy,W,6)
+        # lane-major: (taps, 6, D)
+        B = jnp.transpose(block.reshape(D, n_taps, 6), (1, 2, 0))
+        tpx, tpy, tpz = B[:, 0], B[:, 1], B[:, 2]      # (taps, D)
+        tnx, tny, tnz = B[:, 3], B[:, 4], B[:, 5]
+        pT = p_tgt.T                                   # (3, D)
+        nS = n_tgt_of_src.T
+        ddx = tpx - pT[0][None]
+        ddy = tpy - pT[1][None]
+        ddz = tpz - pT[2][None]
+        dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+        dot = tnx * nS[0][None] + tny * nS[1][None] + tnz * nS[2][None]
+        ok = (tpz > 0.1) & (dist <= cfg.dense_dist_thres) & (dot >= cosn) \
+            & in_img[None, :]
+        score = jnp.where(ok, (1.0 - dot) + dist / cfg.dense_dist_thres,
+                          jnp.inf)                     # (taps, D)
+        best_s = jnp.min(score, axis=0)
+        k = jnp.argmin(score, axis=0)                  # (D,)
+        sel = jnp.arange(n_taps)[:, None] == k[None, :]
+        pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0)
+        best_p = jnp.stack([pick(tpx), pick(tpy), pick(tpz)], axis=1)
+        best_n = jnp.stack([pick(tnx), pick(tny), pick(tnz)], axis=1)
         found = jnp.isfinite(best_s) & src_ok
         # huber weight at the association linearization point
         res0 = jnp.sum((best_p - p_tgt) * best_n, axis=-1)

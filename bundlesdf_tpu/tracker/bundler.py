@@ -284,6 +284,12 @@ class Bundler:
         self._key, k_ = jax.random.split(self._key)
         keys = np.asarray(jax.random.split(k_, P))
         pool = self.pool
+        # compact pull: RANSAC inliers only (top-256 by conf, int16 uv) —
+        # the dev tunnel moves ~30 MB/s so the full (P,M=1024) tables cost
+        # ~45-70 ms/pull; compaction shrinks it ~5x. The full pull is kept
+        # for SPDLOG>=3 because the before_ransac viz needs pre-RANSAC
+        # tables (ref vizCorresBetween).
+        k_pull = 0 if int(self.cfg.get("SPDLOG", 1)) >= 3 else 256
         res = jax.device_get(orb_lift_ransac_slots(
             pool.xyzs, pool.nrms, tuple(colA), tuple(colB), tuple(uvcA),
             tuple(uvcB), jnp.asarray(nA), jnp.asarray(nB),
@@ -292,19 +298,30 @@ class Bundler:
             jnp.asarray(caps[:, 1]), jnp.asarray(keys), cfg["inlier_dist"],
             float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
             ratio=float(matcher.ratio), nbits=int(nbits),
-            m_cap=min(M, F), n_trials=int(cfg["max_iter"])))
+            m_cap=min(M, F), n_trials=int(cfg["max_iter"]),
+            k_pull=k_pull))
 
+        fields = ("uvA", "uvB", "pA_cam", "pB_cam", "nA_cam", "nB_cam",
+                  "conf")
         for k, i in enumerate(live):
             fA, fB = frame_pairs[i]
             n_raw_out[i] = int(res["n_raw"][k])
             key = (fA.id, fB.id)
+            if k_pull:
+                n_in = int(res["n_in"][k])
+                if n_in < cfg["min_match_after_ransac"]:
+                    logging.info(f"ransac {fA.id_str}-{fB.id_str}: "
+                                 f"{n_in} inliers, cleared")
+                    self.matches[key] = None
+                    continue
+                keep = res["conf"][k] > 0
+                self.matches[key] = {
+                    f: (res[f][k][keep].astype(np.int32)
+                        if f in ("uvA", "uvB") else res[f][k][keep])
+                    for f in fields}
+                continue
             ok = res["ok"][k]
-            pre = {"uvA": res["uvA"][k][ok], "uvB": res["uvB"][k][ok],
-                   "pA_cam": res["pA_cam"][k][ok],
-                   "pB_cam": res["pB_cam"][k][ok],
-                   "nA_cam": res["nA_cam"][k][ok],
-                   "nB_cam": res["nB_cam"][k][ok],
-                   "conf": res["conf"][k][ok]}
+            pre = {f: res[f][k][ok] for f in fields}
             self.matches[key] = pre
             self.viz_corres_between(fA, fB, "before_ransac")
             inlier = res["inlier_mask"][k]
@@ -420,7 +437,14 @@ class Bundler:
                 frame.pose_in_model[:3, :3].T, kf.pose_in_model[:3, :3].T)
             if rot_diff < min_rot:
                 return False
-        vis = self.covisibility_many(frame, self.keyframes)
+        # admission covisibility rode the final BA dispatch (computed at
+        # post-BA poses inside bundle_adjust_pooled) — zero extra device
+        # round-trips here when the cache covers this frame + keyframe set
+        fid, cache = getattr(self, "_covis_post_ba", (None, {}))
+        if fid == frame.id and all(kf.id in cache for kf in self.keyframes):
+            vis = np.array([cache[kf.id] for kf in self.keyframes])
+        else:
+            vis = self.covisibility_many(frame, self.keyframes)
         if (vis > kf_cfg["min_visible"]).any():
             return False
         self.keyframes.append(frame)
@@ -838,19 +862,35 @@ class Bundler:
                 w_dense=bcfg["w_p2p"])
 
             # per-frame valid-object-point indices in the downsampled grid:
-            # the dense term runs on these D points, not all h*w pixels
-            D = cfg_ba.n_dense_pts
+            # the dense term runs on these D points, not all h*w pixels.
+            # D is a pow-2 bucket of the LARGEST per-frame count (assoc
+            # cost is ~linear in D and object crops rarely near the 4096
+            # cap — a 0.1 m object at 0.45 m is ~1k px at /4, so the fixed
+            # cap wasted ~4x)
+            flats = [np.nonzero(
+                (f.fg_mask[::factor, ::factor] > 0).reshape(-1))[0]
+                for f in frames]
+            cap = cfg_ba.n_dense_pts
+            D = 512
+            while D < min(max(map(len, flats)), cap):
+                D *= 2
+            D = min(D, cap)
             src_idx = np.zeros((N_pad, D), np.int32)
             src_valid = np.zeros((N_pad, D), bool)
-            for k, f in enumerate(frames):
-                flat = np.nonzero(
-                    (f.fg_mask[::factor, ::factor] > 0).reshape(-1))[0]
+            for k, flat in enumerate(flats):
                 if len(flat) > D:  # uniform subsample to the budget
                     flat = flat[np.linspace(0, len(flat) - 1, D).astype(int)]
                 src_idx[k, :len(flat)] = flat
                 src_valid[k, :len(flat)] = True
 
-            poses = np.asarray(bundle_adjust_pooled(
+            last = it == len(scales) - 1
+            admission = dict(
+                pool_valids=self.pool.valids, nf_idx=nf_idx,
+                kf_slots=jnp.asarray(kf_slots),
+                kf_poses=jnp.asarray(kf_poses),
+                kf_window_idx=jnp.asarray(kf_window_idx),
+                covis_thres_cos=thres_cos) if last else {}
+            out = bundle_adjust_pooled(
                 self.pool.xyzs, self.pool.nrms, jnp.asarray(slots),
                 jnp.asarray(slot_live), jnp.asarray(poses),
                 jnp.asarray(frames[0].K, jnp.float32), jnp.asarray(pair_ij),
@@ -858,7 +898,14 @@ class Bundler:
                 jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
                 jnp.asarray(valid), jnp.asarray(update_flags),
                 jnp.asarray(src_idx), jnp.asarray(src_valid), factor, cfg_ba,
-                pair_valid=jnp.asarray(pair_valid)))
+                pair_valid=jnp.asarray(pair_valid), **admission)
+            if last:
+                poses, covis_h = jax.device_get(out)
+            else:
+                poses = np.asarray(out)
+        self._covis_post_ba = (self.new_frame.id,
+                               {kf.id: float(covis_h[k])
+                                for k, kf in enumerate(kfs)})
 
         # abnormal-pose-change rejection vs temporal neighbor
         # (ref Bundler.cpp:927-946)

@@ -231,6 +231,7 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
             "uvB": take(uvB).astype(jnp.int16),
             "conf": sc,
             "pA_cam": take(out["pA_cam"]), "pB_cam": take(out["pB_cam"]),
+            "nA_cam": take(out["nA_cam"]), "nB_cam": take(out["nB_cam"]),
             "n_in": jnp.sum(out["inlier_mask"], axis=1).astype(jnp.int32),
             "n_inliers": out["n_inliers"], "n_raw": n_raw}
 
