@@ -23,3 +23,20 @@ import jax as _jax
 # which costs ~8e-3 relative error — fatal for SE(3) chains and Kabsch).
 # Speed-critical NOF matmuls opt into bf16 via explicit dtypes instead.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the online tracker compiles one program
+# per shape bucket (pair count, corres ladder, keyframe count, dense-point
+# budget) at 10-40 s each through the dev tunnel — cached, every later
+# process (benchmarks, drivers, tests) reuses them. Opt out with
+# BUNDLESDF_TPU_NO_COMPILE_CACHE=1 or point BUNDLESDF_TPU_COMPILE_CACHE
+# somewhere else.
+import os as _os
+
+if not _os.environ.get("BUNDLESDF_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "BUNDLESDF_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "bundlesdf_tpu",
+                      "jax_cache"))
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

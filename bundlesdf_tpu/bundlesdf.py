@@ -201,6 +201,12 @@ class BundleSdf:
         if cfg["depth_processing"].get("denoise_cloud", False):
             frame.point_cloud_denoise()
 
+        # warm the host-side feature detection (cv2 ORB on the mask crop)
+        # BEFORE the blocking valid-count pull: the ~10-20 ms of detection
+        # hides the device->host transfer started at preprocess time
+        if hasattr(self.matcher, "_frame_feats"):
+            self.matcher._frame_feats(frame)
+
         n_valid = frame.count_valid_points()
         n_valid_first = b.first_frame.count_valid_points()
         if n_valid < n_valid_first / 40.0:

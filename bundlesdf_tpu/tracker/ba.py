@@ -102,7 +102,15 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
     W = 2 * r + 1
     packed = jnp.concatenate([xyz, nrm], axis=-1)  # (N,h,w,6)
     sel_dy = np.arange(0, W, stride)
-    n_taps = len(sel_dy) * W
+    ndy = len(sel_dy)
+    n_taps = ndy * W
+    # stride-2 windows touch only same-parity rows: gather from a
+    # parity-split (2, h/2, w, 6) view so the patch slice fetches exactly
+    # the ndy rows it uses instead of W (the slice is byte-bound at W=11)
+    par2 = stride == 2 and h % 2 == 0
+    if par2:
+        packed_par = packed.reshape(N, h // 2, 2, w, 6) \
+            .transpose(0, 2, 1, 3, 4)              # (N,2,h/2,w,6)
 
     # per-frame src gathers, hoisted out of the pair loop
     src_p_all = jnp.take_along_axis(xyz.reshape(N, -1, 3),
@@ -125,17 +133,28 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
         u = u.astype(jnp.int32)
         v = v.astype(jnp.int32)
 
-        tgt = packed[i]                                # (h,w,6)
         u0 = jnp.clip(u - r, 0, w - W)                 # (D,)
         v0 = jnp.clip(v - r, 0, h - W)
         in_img = (u >= -r) & (u < w + r) & (v >= -r) & (v < h + r)
         D = src_p.shape[0]
 
-        def patch(vv, uu):
-            return jax.lax.dynamic_slice(tgt, (vv, uu, 0), (W, W, 6))
+        if par2:
+            tgt = packed_par[i]                        # (2,h/2,w,6)
 
-        block = jax.vmap(patch)(v0, u0)                # (D,W,W,6)
-        block = block[:, sel_dy]                       # (D,ndy,W,6)
+            def patch(vv, uu):
+                # row 2k+p of the image is row k of parity plane p
+                return jax.lax.dynamic_slice(
+                    tgt, (vv & 1, vv >> 1, uu, 0), (1, ndy, W, 6))[0]
+
+            block = jax.vmap(patch)(v0, u0)            # (D,ndy,W,6)
+        else:
+            tgt = packed[i]                            # (h,w,6)
+
+            def patch(vv, uu):
+                return jax.lax.dynamic_slice(tgt, (vv, uu, 0), (W, W, 6))
+
+            block = jax.vmap(patch)(v0, u0)            # (D,W,W,6)
+            block = block[:, sel_dy]                   # (D,ndy,W,6)
         # lane-major: (taps, 6, D)
         B = jnp.transpose(block.reshape(D, n_taps, 6), (1, 2, 0))
         tpx, tpy, tpz = B[:, 0], B[:, 1], B[:, 2]      # (taps, D)

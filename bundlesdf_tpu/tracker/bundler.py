@@ -185,7 +185,8 @@ class Bundler:
             hostm.append((np.stack([uA, vA], -1), np.stack([uB, vB], -1), c))
 
         self._key, k = jax.random.split(self._key)
-        keys = np.asarray(jax.random.split(k, P))
+        keys = jax.random.split(k, P)  # stays on device (a host pull here
+        # was one hidden ~26 ms tunnel round-trip per find_corres call)
         pool = self.pool
         res = lift_ransac_slots(
             pool.xyzs, pool.nrms, jnp.asarray(slots_a), jnp.asarray(slots_b),
@@ -282,7 +283,7 @@ class Bundler:
         uvcB += [zero_uv] * (P - len(live))
 
         self._key, k_ = jax.random.split(self._key)
-        keys = np.asarray(jax.random.split(k_, P))
+        keys = jax.random.split(k_, P)  # device-resident (host pull = RTT)
         pool = self.pool
         # compact pull: RANSAC inliers only (top-256 by conf, int16 uv) —
         # the dev tunnel moves ~30 MB/s so the full (P,M=1024) tables cost
@@ -486,11 +487,30 @@ class Bundler:
         pool = [kf for kf in self.keyframes if kf is not nf]
 
         if method == "normal_orientation_nearest":
-            # covisibility with the new frame, descending (ref :501-526)
+            # covisibility with the new frame, descending (ref :501-526).
+            # Unseen keyframe-keyframe candidates ride the SAME dispatch:
+            # whatever window gets selected, get_feature_match_pairs' gate
+            # can only ask about (kfA, kfB) pairs with no match entry yet,
+            # so scoring them here makes the gate fully dispatch-free.
             frames = {nf}
-            scores = self.covisibility_many(nf, pool)
+            extra = []
+            for a in range(len(pool)):
+                for b2 in range(a + 1, len(pool)):
+                    fA, fB = pool[b2], pool[a]
+                    if fA.id < fB.id:
+                        fA, fB = fB, fA
+                    if (fA.id, fB.id) in self.matches:
+                        continue
+                    if np.allclose(fA.pose_in_model, np.eye(4)):
+                        continue
+                    extra.append((fA, fB))
+            scores_all = self.covisibility_pairs(
+                [(nf, kf) for kf in pool] + extra)
+            scores = scores_all[:len(pool)]
             self._covis_pre_ba = {(nf.id, kf.id): float(v)
                                   for kf, v in zip(pool, scores)}
+            for (fA, fB), v in zip(extra, scores_all[len(pool):]):
+                self._covis_pre_ba[(fA.id, fB.id)] = float(v)
             for i in np.argsort(-scores):
                 frames.add(pool[i])
                 if len(frames) == max_ba:

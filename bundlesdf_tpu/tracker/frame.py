@@ -67,6 +67,12 @@ class Frame:
             self.slot, self._n_valid_dev = pool.insert_preprocessed(
                 self.id, depth, self.K, self.fg_mask,
                 cfg["depth_processing"])
+            try:
+                # start the host transfer now so the valid-count FAIL gate
+                # doesn't pay a cold ~26 ms tunnel pull later
+                self._n_valid_dev.copy_to_host_async()
+            except AttributeError:
+                pass
             self.depth_dev = self.xyz_dev = self.normal_dev = None
         else:
             self.slot = None
