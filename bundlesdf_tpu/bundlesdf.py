@@ -65,6 +65,14 @@ class BundleSdf:
             else:
                 self.matcher = OrbMatcher()
         self.bundler = Bundler(self.cfg_track, self.matcher)
+        # the fused matcher can evaluate the non-neighbor covisibility
+        # gate inside its own dispatch — tell get_feature_match_pairs to
+        # defer unknown pairs to it instead of dispatching separately
+        fc_cfg = self.cfg_track["feature_corres"]
+        self.bundler._defer_covis_gate = bool(
+            fc_cfg.get("fused_matcher", jax.default_backend() != "cpu")
+            and not fc_cfg.get("map_points", False)
+            and hasattr(self.matcher, "_frame_feats"))
         self.K = None
         self.cnt = -1
         self.gui = None
@@ -174,6 +182,7 @@ class BundleSdf:
     def process_new_frame(self, frame: Frame):
         b = self.bundler
         b.new_frame = frame
+        b._covis_gate_pending = set()
         cfg = self.cfg_track
 
         if frame.id > 0:

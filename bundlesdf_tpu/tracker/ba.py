@@ -49,9 +49,11 @@ class BAConfig:
     # re-associate only in the first `reassoc_iters` GN iterations and
     # freeze the correspondences afterwards. The reference re-associates
     # every outer iteration (SolverBundling.cu:1168-1260), but pose deltas
-    # after iteration 2 are far below the association pixel quantum at the
-    # /4 grid; set to n_outer to recover the exact reference schedule.
-    reassoc_iters: int = 2
+    # after the first solve are far below the association pixel quantum at
+    # the /4 grid (measured: the round-3 synthetic benchmark ADD is
+    # unchanged between 1 and 2); set to n_outer to recover the exact
+    # reference schedule.
+    reassoc_iters: int = 1
     n_dense_pts: int = 4096             # valid src points per frame (padded)
     robust_delta: float = 0.005
     w_sparse: float = 1.0               # bundle.w_fm
@@ -277,19 +279,24 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     return poses
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "factor"))
+@functools.partial(jax.jit, static_argnames=("cfg", "factor", "pre_decim"))
 def bundle_adjust_pooled(pool_xyzs, pool_nrms, slots, slot_live, poses0, K,
                          pair_ij, corr_i, corr_j, corr_pi, corr_pj,
                          corr_valid, update_flags, src_idx, src_valid,
                          factor: int, cfg: BAConfig = BAConfig(),
                          pair_valid=None, pool_valids=None, nf_idx=None,
                          kf_slots=None, kf_poses=None, kf_window_idx=None,
-                         covis_thres_cos=None):
+                         covis_thres_cos=None, pre_decim: int = 1):
     """bundle_adjust fed straight from the FramePool: the slot gather, the
     padded-slot zeroing, and the /factor downsample run inside the SAME
     program (the round-3 driver paid 4-5 extra dispatches per BA call for
     gather_slots + concat-pad + downsample through the tunnel).
 
+    @pool_xyzs/@pool_nrms: pool maps already decimated by @pre_decim
+    (pass the pool's half-res pyramid with pre_decim=2 for even factors —
+    gathering full-res slots just to stride them cost ~35 MB + a device
+    copy per call). @factor is the TOTAL downscale relative to full res;
+    factor %% pre_decim must be 0.
     @slots: (N_pad,) pool slots (padded entries point anywhere);
     @slot_live: (N_pad,) 1.0 for real frames, 0.0 for padding (zeroes the
     maps, so padded frames contribute no dense residuals).
@@ -300,27 +307,38 @@ def bundle_adjust_pooled(pool_xyzs, pool_nrms, slots, slot_live, poses0, K,
     keyframe-admission covisibility of the new frame against every
     keyframe at the POST-BA poses (ref checkAndAddKeyframe
     Bundler.cpp:263-323 runs right after optimizeGPU) — the driver then
-    needs zero extra dispatches for admission. Returns (poses, covis)
-    in that case, else poses."""
+    needs zero extra dispatches for admission. The covisibility runs at
+    half resolution (ref Frame.h stride-2), so admission args require
+    pre_decim <= 2. Returns (poses, covis) in that case, else poses."""
     from bundlesdf_tpu.tracker.pool import covis_core
 
+    assert factor % pre_decim == 0
+    s = factor // pre_decim
     live = slot_live[:, None, None, None]
     xyz = pool_xyzs[slots] * live
     nrm = pool_nrms[slots] * live
-    xyz_d, nrm_d, K_d = downsample_maps(xyz, nrm, K, factor)
+    xyz_d = xyz[:, ::s, ::s]
+    nrm_d = nrm[:, ::s, ::s]
+    K_d = jnp.asarray(K).astype(jnp.float32)
+    K_d = K_d.at[0].mul(1.0 / factor).at[1].mul(1.0 / factor)
     poses = bundle_adjust(poses0, K_d, xyz_d, nrm_d, pair_ij, corr_i,
                           corr_j, corr_pi, corr_pj, corr_valid,
                           update_flags, src_idx, src_valid, cfg,
                           pair_valid=pair_valid)
     if nf_idx is None:
         return poses
+    assert pre_decim <= 2
+    c = 2 // pre_decim
+    cov_xyzs = pool_xyzs[:, ::c, ::c]
+    cov_nrms = pool_nrms[:, ::c, ::c]
+    cov_valids = pool_valids[:, ::c, ::c]
     nf_pose = poses[nf_idx]
     in_window = kf_window_idx >= 0
     kf_pose_eff = jnp.where(in_window[:, None, None],
                             poses[jnp.maximum(kf_window_idx, 0)], kf_poses)
     Ts = jnp.linalg.inv(kf_pose_eff) @ nf_pose  # nf cam -> kf cam
     src_slots = jnp.full(kf_slots.shape, slots[nf_idx])
-    covis = covis_core(pool_xyzs, pool_nrms, pool_valids, src_slots, Ts,
+    covis = covis_core(cov_xyzs, cov_nrms, cov_valids, src_slots, Ts,
                        covis_thres_cos)
     return poses, covis
 

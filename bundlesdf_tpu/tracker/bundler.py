@@ -112,9 +112,9 @@ class Bundler:
                      @ fA.pose_in_model).astype(np.float32)
         pool = self.pool
         thres = float(np.cos(np.deg2rad(self.cfg["visible_angle"])))
-        out = np.asarray(covis_slots(pool.xyzs, pool.nrms, pool.valids,
-                                     jnp.asarray(slots), jnp.asarray(Ts),
-                                     thres))
+        out = np.asarray(covis_slots(pool.xyzs_h, pool.nrms_h,
+                                     pool.valids_h, jnp.asarray(slots),
+                                     jnp.asarray(Ts), thres))
         return out[:len(pairs)]
 
     # ------------------------------------------------------------------
@@ -291,6 +291,16 @@ class Bundler:
         # for SPDLOG>=3 because the before_ransac viz needs pre-RANSAC
         # tables (ref vizCorresBetween).
         k_pull = 0 if int(self.cfg.get("SPDLOG", 1)) >= 3 else 256
+        # the deferred non-neighbor covisibility gate rides the same
+        # program (see get_feature_match_pairs)
+        pending = getattr(self, "_covis_gate_pending", set())
+        gate_args = {}
+        if pending:
+            gate_args = dict(
+                xyzs_h=pool.xyzs_h, nrms_h=pool.nrms_h,
+                valids_h=pool.valids_h,
+                covis_thres_cos=float(
+                    np.cos(np.deg2rad(self.cfg["visible_angle"]))))
         res = jax.device_get(orb_lift_ransac_slots(
             pool.xyzs, pool.nrms, tuple(colA), tuple(colB), tuple(uvcA),
             tuple(uvcB), jnp.asarray(nA), jnp.asarray(nB),
@@ -300,14 +310,20 @@ class Bundler:
             float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
             ratio=float(matcher.ratio), nbits=int(nbits),
             m_cap=min(M, F), n_trials=int(cfg["max_iter"]),
-            k_pull=k_pull))
+            k_pull=k_pull, **gate_args))
 
+        min_vis = self.cfg["bundle"]["non_neighbor_min_visible"]
         fields = ("uvA", "uvB", "pA_cam", "pB_cam", "nA_cam", "nB_cam",
                   "conf")
         for k, i in enumerate(live):
             fA, fB = frame_pairs[i]
             n_raw_out[i] = int(res["n_raw"][k])
             key = (fA.id, fB.id)
+            if key in pending:
+                pending.discard(key)
+                if float(res["covis"][k]) < min_vis:
+                    self.matches[key] = None
+                    continue
             if k_pull:
                 n_in = int(res["n_in"][k])
                 if n_in < cfg["min_match_after_ransac"]:
@@ -695,7 +711,15 @@ class Bundler:
                 unknown_at.append(idx)
             else:
                 vis[idx] = v
-        if unknown:
+        self._covis_gate_pending = set()
+        if unknown and getattr(self, "_defer_covis_gate", False):
+            # the fused matcher computes covisibility INSIDE its one
+            # dispatch — pass the unknowns through and let
+            # match_pairs_fused apply the gate (saves a dispatch + sync)
+            for idx, (fA, fB) in zip(unknown_at, unknown):
+                vis[idx] = np.inf
+                self._covis_gate_pending.add((fA.id, fB.id))
+        elif unknown:
             vis[np.asarray(unknown_at)] = self.covisibility_pairs(unknown)
         for (fA, fB), v in zip(cands, vis):
             if v < min_vis:
@@ -904,21 +928,29 @@ class Bundler:
                 src_valid[k, :len(flat)] = True
 
             last = it == len(scales) - 1
+            # even factors read the pool's half-res pyramid (no full-res
+            # gather + in-program stride); odd factors fall back to full
+            half = factor % 2 == 0
+            pd = 2 if half else 1
+            p_xyzs = self.pool.xyzs_h if half else self.pool.xyzs
+            p_nrms = self.pool.nrms_h if half else self.pool.nrms
+            p_valids = self.pool.valids_h if half else self.pool.valids
             admission = dict(
-                pool_valids=self.pool.valids, nf_idx=nf_idx,
+                pool_valids=p_valids, nf_idx=nf_idx,
                 kf_slots=jnp.asarray(kf_slots),
                 kf_poses=jnp.asarray(kf_poses),
                 kf_window_idx=jnp.asarray(kf_window_idx),
                 covis_thres_cos=thres_cos) if last else {}
             out = bundle_adjust_pooled(
-                self.pool.xyzs, self.pool.nrms, jnp.asarray(slots),
+                p_xyzs, p_nrms, jnp.asarray(slots),
                 jnp.asarray(slot_live), jnp.asarray(poses),
                 jnp.asarray(frames[0].K, jnp.float32), jnp.asarray(pair_ij),
                 jnp.asarray(corr_i_a), jnp.asarray(corr_j_a),
                 jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
                 jnp.asarray(valid), jnp.asarray(update_flags),
                 jnp.asarray(src_idx), jnp.asarray(src_valid), factor, cfg_ba,
-                pair_valid=jnp.asarray(pair_valid), **admission)
+                pair_valid=jnp.asarray(pair_valid), pre_decim=pd,
+                **admission)
             if last:
                 poses, covis_h = jax.device_get(out)
             else:

@@ -42,15 +42,20 @@ from bundlesdf_tpu.tracker.ransac import ransac_pose
 _VALID_MIN = 0.1
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6),
                    static_argnames=("erode_radius", "bf_radius"))
-def preprocess_into_pool(xyzs, nrms, depths, valids, slot, depth, K, mask,
+def preprocess_into_pool(xyzs, nrms, depths, valids, xyzs_h, nrms_h,
+                         valids_h, slot, depth, K, mask,
                          erode_radius=1, erode_diff=0.001, erode_ratio=0.8,
                          bf_radius=2, sigma_d=2.0, sigma_r=100000.0,
                          zfar=1.0,
                          edge_angle_thres_rad=10.0 * math.pi / 180.0):
     """Fused depth chain + pool slot write + valid count: ONE dispatch.
-    Returns (xyzs, nrms, depths, valids, n_valid)."""
+    Also maintains the half-res strided pyramid (xyzs_h = xyzs[:, ::2,
+    ::2]) that covisibility and BA consume — gathering full-res slots and
+    striding in-program cost ~35 MB + a device copy per BA call.
+    Returns (xyzs, nrms, depths, valids, xyzs_h, nrms_h, valids_h,
+    n_valid)."""
     d = erode_depth(depth, radius=erode_radius, diff=erode_diff,
                     ratio=erode_ratio, zfar=zfar)
     d = bilateral_filter_depth(d, radius=bf_radius, sigma_d=sigma_d,
@@ -68,38 +73,49 @@ def preprocess_into_pool(xyzs, nrms, depths, valids, slot, depth, K, mask,
     valid = (d > _VALID_MIN) & keep
     n_valid = jnp.sum(valid.astype(jnp.int32))
     return (xyzs.at[slot].set(xyz), nrms.at[slot].set(nrm),
-            depths.at[slot].set(d), valids.at[slot].set(valid), n_valid)
+            depths.at[slot].set(d), valids.at[slot].set(valid),
+            xyzs_h.at[slot].set(xyz[::2, ::2]),
+            nrms_h.at[slot].set(nrm[::2, ::2]),
+            valids_h.at[slot].set(valid[::2, ::2]), n_valid)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def mask_pool_slot(xyzs, nrms, depths, valids, slot, mask):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+def mask_pool_slot(xyzs, nrms, depths, valids, xyzs_h, nrms_h, valids_h,
+                   slot, mask):
     """Re-invalidate a pooled frame by a (possibly shrunken) mask
     (ref invalidatePixelsByMask Frame.cpp:432-451). One dispatch."""
     keep = mask > 0
     d = jnp.where(keep, depths[slot], 0.0)
-    return (xyzs.at[slot].set(jnp.where(keep[..., None], xyzs[slot], 0.0)),
-            nrms.at[slot].set(jnp.where(keep[..., None], nrms[slot], 0.0)),
-            depths.at[slot].set(d),
-            valids.at[slot].set(valids[slot] & keep),
-            jnp.sum((valids[slot] & keep).astype(jnp.int32)))
+    xyz = jnp.where(keep[..., None], xyzs[slot], 0.0)
+    nrm = jnp.where(keep[..., None], nrms[slot], 0.0)
+    valid = valids[slot] & keep
+    return (xyzs.at[slot].set(xyz), nrms.at[slot].set(nrm),
+            depths.at[slot].set(d), valids.at[slot].set(valid),
+            xyzs_h.at[slot].set(xyz[::2, ::2]),
+            nrms_h.at[slot].set(nrm[::2, ::2]),
+            valids_h.at[slot].set(valid[::2, ::2]),
+            jnp.sum(valid.astype(jnp.int32)))
 
 
 @jax.jit
 def covis_slots(xyzs, nrms, valids, slots, Ts, thres_cos):
     """Covisibility for a batch of (source slot, A_in_B transform) items
     in one dispatch (ref Frame.h:122-165, stride-2 loop :142-165).
-    @slots: (P,) int32; @Ts: (P,4,4). Returns (P,) fractions."""
+    @slots: (P,) int32; @Ts: (P,4,4). Returns (P,) fractions.
+    Pass the pool's HALF-RES pyramid (xyzs_h/nrms_h/valids_h): the ref's
+    stride-2 sampling is exactly that decimation."""
     return covis_core(xyzs, nrms, valids, slots, Ts, thres_cos)
 
 
 def covis_core(xyzs, nrms, valids, slots, Ts, thres_cos):
     """Traceable covisibility core (shared with the BA+admission fused
-    program, tracker/ba.py)."""
+    program, tracker/ba.py). Expects maps ALREADY at the covisibility
+    resolution (the pool's half-res pyramid)."""
 
     def one(slot, T):
-        xyz = xyzs[slot][::2, ::2].reshape(-1, 3)
-        nrm = nrms[slot][::2, ::2].reshape(-1, 3)
-        ok = valids[slot][::2, ::2].reshape(-1)
+        xyz = xyzs[slot].reshape(-1, 3)
+        nrm = nrms[slot].reshape(-1, 3)
+        ok = valids[slot].reshape(-1)
         ok = ok & (jnp.linalg.norm(nrm, axis=-1) > 1e-6)
         p = xyz @ T[:3, :3].T + T[:3, 3]
         n = nrm @ T[:3, :3].T
@@ -175,7 +191,8 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
                           slots_a, slots_b, TA, TB, cap_t, cap_r, key,
                           inlier_dist, cos_normal_angle, ratio: float,
                           nbits: int, m_cap: int, n_trials: int = 2000,
-                          k_pull: int = 0):
+                          k_pull: int = 0, xyzs_h=None, nrms_h=None,
+                          valids_h=None, covis_thres_cos=None):
     """The WHOLE find_corres device path as one program: batched MXU ORB
     matching (mutual ratio test) -> top-`m_cap` match selection by
     confidence -> correspondence lifting from the pool -> 3D gating ->
@@ -217,8 +234,19 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
     out = _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid,
                             conf, TA, TB, cap_t, cap_r, key, inlier_dist,
                             cos_normal_angle, n_trials)
+    # per-pair covisibility riding the same program (the non-neighbor
+    # match-pair gate, ref getFeatureMatchPairs — a separate dispatch
+    # whenever the window-selection cache misses): source = frame A,
+    # T = inv(poseB) @ poseA, evaluated on the half-res pyramid
+    covis = None
+    if xyzs_h is not None:
+        Ts = jnp.linalg.inv(TB) @ TA
+        covis = covis_core(xyzs_h, nrms_h, valids_h, slots_a, Ts,
+                           covis_thres_cos)
     if k_pull <= 0:
         out.update(uvA=uvA, uvB=uvB, conf=conf, n_raw=n_raw)
+        if covis is not None:
+            out["covis"] = covis
         return out
     score = jnp.where(out["inlier_mask"], conf, 0.0)
     sc, order = jax.lax.top_k(score, min(k_pull, conf.shape[1]))
@@ -227,13 +255,16 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
         idx = order[..., None] if a.ndim == 3 else order
         return jnp.take_along_axis(a, idx, axis=1)
 
-    return {"uvA": take(uvA).astype(jnp.int16),
-            "uvB": take(uvB).astype(jnp.int16),
-            "conf": sc,
-            "pA_cam": take(out["pA_cam"]), "pB_cam": take(out["pB_cam"]),
-            "nA_cam": take(out["nA_cam"]), "nB_cam": take(out["nB_cam"]),
-            "n_in": jnp.sum(out["inlier_mask"], axis=1).astype(jnp.int32),
-            "n_inliers": out["n_inliers"], "n_raw": n_raw}
+    res = {"uvA": take(uvA).astype(jnp.int16),
+           "uvB": take(uvB).astype(jnp.int16),
+           "conf": sc,
+           "pA_cam": take(out["pA_cam"]), "pB_cam": take(out["pB_cam"]),
+           "nA_cam": take(out["nA_cam"]), "nB_cam": take(out["nB_cam"]),
+           "n_in": jnp.sum(out["inlier_mask"], axis=1).astype(jnp.int32),
+           "n_inliers": out["n_inliers"], "n_raw": n_raw}
+    if covis is not None:
+        res["covis"] = covis
+    return res
 
 
 @jax.jit
@@ -254,6 +285,12 @@ class FramePool:
         self.nrms = jnp.zeros((cap, H, W, 3), jnp.float32)
         self.depths = jnp.zeros((cap, H, W), jnp.float32)
         self.valids = jnp.zeros((cap, H, W), bool)
+        # half-res strided pyramid (== arr[:, ::2, ::2]): covisibility and
+        # BA read these instead of gathering + striding the full maps
+        Hh, Wh = -(-H // 2), -(-W // 2)
+        self.xyzs_h = jnp.zeros((cap, Hh, Wh, 3), jnp.float32)
+        self.nrms_h = jnp.zeros((cap, Hh, Wh, 3), jnp.float32)
+        self.valids_h = jnp.zeros((cap, Hh, Wh), bool)
         self.slot_of: dict[int, int] = {}
         self._free = list(range(cap))
 
@@ -277,6 +314,13 @@ class FramePool:
             [self.depths, jnp.zeros((pad, self.H, self.W), jnp.float32)])
         self.valids = jnp.concatenate(
             [self.valids, jnp.zeros((pad, self.H, self.W), bool)])
+        Hh, Wh = self.xyzs_h.shape[1:3]
+        self.xyzs_h = jnp.concatenate(
+            [self.xyzs_h, jnp.zeros((pad, Hh, Wh, 3), jnp.float32)])
+        self.nrms_h = jnp.concatenate(
+            [self.nrms_h, jnp.zeros((pad, Hh, Wh, 3), jnp.float32)])
+        self.valids_h = jnp.concatenate(
+            [self.valids_h, jnp.zeros((pad, Hh, Wh), bool)])
         self._free.extend(range(self.cap, new_cap))
         self.cap = new_cap
 
@@ -292,8 +336,10 @@ class FramePool:
         Returns (slot, n_valid device scalar)."""
         slot = self._alloc(frame_id)
         (self.xyzs, self.nrms, self.depths, self.valids,
+         self.xyzs_h, self.nrms_h, self.valids_h,
          n_valid) = preprocess_into_pool(
-            self.xyzs, self.nrms, self.depths, self.valids, slot,
+            self.xyzs, self.nrms, self.depths, self.valids,
+            self.xyzs_h, self.nrms_h, self.valids_h, slot,
             jnp.asarray(depth, jnp.float32), jnp.asarray(K, jnp.float32),
             jnp.asarray(mask),
             erode_radius=int(dp_cfg["erode"]["radius"]),
@@ -310,18 +356,26 @@ class FramePool:
     def insert_maps(self, frame_id, depth, xyz, nrm, valid):
         """Adopt already-preprocessed maps (legacy/standalone frames)."""
         slot = self._alloc(frame_id)
-        self.xyzs = self.xyzs.at[slot].set(jnp.asarray(xyz, jnp.float32))
-        self.nrms = self.nrms.at[slot].set(jnp.asarray(nrm, jnp.float32))
+        xyz = jnp.asarray(xyz, jnp.float32)
+        nrm = jnp.asarray(nrm, jnp.float32)
+        valid = jnp.asarray(valid)
+        self.xyzs = self.xyzs.at[slot].set(xyz)
+        self.nrms = self.nrms.at[slot].set(nrm)
         self.depths = self.depths.at[slot].set(
             jnp.asarray(depth, jnp.float32))
-        self.valids = self.valids.at[slot].set(jnp.asarray(valid))
+        self.valids = self.valids.at[slot].set(valid)
+        self.xyzs_h = self.xyzs_h.at[slot].set(xyz[::2, ::2])
+        self.nrms_h = self.nrms_h.at[slot].set(nrm[::2, ::2])
+        self.valids_h = self.valids_h.at[slot].set(valid[::2, ::2])
         return slot
 
     def apply_mask(self, frame_id, mask):
         slot = self.slot_of[frame_id]
         (self.xyzs, self.nrms, self.depths, self.valids,
+         self.xyzs_h, self.nrms_h, self.valids_h,
          n_valid) = mask_pool_slot(self.xyzs, self.nrms, self.depths,
-                                   self.valids, slot, jnp.asarray(mask))
+                                   self.valids, self.xyzs_h, self.nrms_h,
+                                   self.valids_h, slot, jnp.asarray(mask))
         return n_valid
 
     # -- reads -------------------------------------------------------------
