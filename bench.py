@@ -21,10 +21,59 @@ vs_baseline >= 5 meets the target.
 """
 from __future__ import annotations
 
+import collections
+import glob
+import gzip
 import json
+import os
+import shutil
 import time
 
 import numpy as np
+
+
+def _trace_device_ms(fn, n_steps: int):
+    """Run @fn under a jax.profiler trace; return summed TPU device-op ms
+    per step (None if no device timeline is found, e.g. on CPU)."""
+    import jax
+
+    d = "/tmp/bench_nof_trace"
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        jax.profiler.start_trace(d)
+        fn()
+    finally:
+        jax.profiler.stop_trace()
+    paths = glob.glob(os.path.join(d, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1]) as f:
+        events = json.load(f)
+    events = events["traceEvents"] if isinstance(events, dict) else events
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, n in pids.items() if "TPU" in n or "tpu" in n.lower()}
+    if not dev:
+        return None
+    # top-level jit_* module spans nest their fusions — count only the
+    # outermost spans to avoid double-counting
+    spans = collections.defaultdict(list)
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev:
+            spans[e.get("tid")].append((e["ts"], e["ts"] + e.get("dur", 0)))
+    total = 0.0
+    for tid, iv in spans.items():
+        iv.sort()
+        end = -1.0
+        for s, t in iv:
+            if s >= end:
+                total += t - s
+                end = t
+            elif t > end:
+                total += t - end
+                end = t
+    return total / 1e3 / n_steps
 
 
 def main():
@@ -63,21 +112,38 @@ def main():
     dt = time.perf_counter() - t0
     steps_per_sec = n / dt
 
+    # hard per-step device time from a profiler trace (the wall steps/s
+    # includes host dispatch; device-ms/step is the chip-bound claim)
+    def traced():
+        m = runner.train(n_steps=runner.scan_chunk)
+        np.asarray(m["loss"])
+
+    try:
+        dev_ms = _trace_device_ms(traced, runner.scan_chunk)
+    except Exception:
+        dev_ms = None
+
     # reference: the torch+CUDA pipeline trains ~10 steps/s at this online
     # workload on an RTX-class GPU (501-step batches take ~1 min)
-    print(json.dumps({
+    rec = {
         "metric": "nof_train_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s (2048 rays x 192 samples, 4-level grid)",
         "vs_baseline": round(steps_per_sec / 10.0, 2),
-    }), flush=True)
+    }
+    if dev_ms is not None:
+        rec["device_ms_per_step"] = round(dev_ms, 2)
+    print(json.dumps(rec), flush=True)
 
     bench_tracking()
 
 
-def bench_tracking(n_frames=45, warmup=15):
+def bench_tracking(n_frames=70, warmup=40):
     """Steady-state online tracking FPS (round-2 verdict item 2: the FPS
-    target was the one thing bench.py didn't measure)."""
+    target was the one thing bench.py didn't measure). 70/40: keyframe
+    admission keeps minting shape buckets (pair-count, corres ladder,
+    dense-point, keyframe-count) through ~frame 35 — a shorter warmup
+    counts bucket compiles as steady frames."""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from synthetic import cube_orbit_sequence

@@ -315,6 +315,8 @@ class Bundler:
         min_vis = self.cfg["bundle"]["non_neighbor_min_visible"]
         fields = ("uvA", "uvB", "pA_cam", "pB_cam", "nA_cam", "nB_cam",
                   "conf")
+        # compact pull omits match-table normals (no consumer; 40% bytes)
+        fields_c = ("uvA", "uvB", "pA_cam", "pB_cam", "conf")
         for k, i in enumerate(live):
             fA, fB = frame_pairs[i]
             n_raw_out[i] = int(res["n_raw"][k])
@@ -335,7 +337,7 @@ class Bundler:
                 self.matches[key] = {
                     f: (res[f][k][keep].astype(np.int32)
                         if f in ("uvA", "uvB") else res[f][k][keep])
-                    for f in fields}
+                    for f in fields_c}
                 continue
             ok = res["ok"][k]
             pre = {f: res[f][k][ok] for f in fields}

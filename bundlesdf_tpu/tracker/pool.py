@@ -255,11 +255,13 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
         idx = order[..., None] if a.ndim == 3 else order
         return jnp.take_along_axis(a, idx, axis=1)
 
+    # nA_cam/nB_cam are omitted: no consumer reads match-table normals
+    # (BA sparse term uses pA/pB only; dense normals come from the pool),
+    # and they were 40% of the pull bytes
     res = {"uvA": take(uvA).astype(jnp.int16),
            "uvB": take(uvB).astype(jnp.int16),
            "conf": sc,
            "pA_cam": take(out["pA_cam"]), "pB_cam": take(out["pB_cam"]),
-           "nA_cam": take(out["nA_cam"]), "nB_cam": take(out["nB_cam"]),
            "n_in": jnp.sum(out["inlier_mask"], axis=1).astype(jnp.int32),
            "n_inliers": out["n_inliers"], "n_raw": n_raw}
     if covis is not None:

@@ -45,9 +45,10 @@ def test_fused_tracks_accurately(tmp_path):
     errs = [np.linalg.norm(est[i][:3, 3] - gt[i][:3, 3]) for i in range(N)]
     assert np.mean(errs) < 0.005, errs
     assert len(t.bundler.keyframes) >= 1
-    # match tables populated with the full schema
+    # match tables populated with every consumed field (the compact pull
+    # intentionally omits nA_cam/nB_cam — nothing downstream reads them)
     m = next(v for v in t.bundler.matches.values() if v is not None)
-    for k in ("uvA", "uvB", "pA_cam", "pB_cam", "nA_cam", "nB_cam", "conf"):
+    for k in ("uvA", "uvB", "pA_cam", "pB_cam", "conf"):
         assert k in m and len(m[k]) == len(m["conf"])
 
 
