@@ -56,23 +56,21 @@ def _trace_device_ms(fn, n_steps: int):
     dev = {p for p, n in pids.items() if "TPU" in n or "tpu" in n.lower()}
     if not dev:
         return None
-    # top-level jit_* module spans nest their fusions — count only the
-    # outermost spans to avoid double-counting
-    spans = collections.defaultdict(list)
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev:
-            spans[e.get("tid")].append((e["ts"], e["ts"] + e.get("dur", 0)))
+    # GLOBAL interval union across every device stream: module spans nest
+    # their fusions and DMA streams overlap compute, so any per-stream or
+    # per-op sum double-counts — busy wall-clock on the chip is the union
+    iv = [(e["ts"], e["ts"] + e.get("dur", 0)) for e in events
+          if e.get("ph") == "X" and e.get("pid") in dev]
+    iv.sort()
     total = 0.0
-    for tid, iv in spans.items():
-        iv.sort()
-        end = -1.0
-        for s, t in iv:
-            if s >= end:
-                total += t - s
-                end = t
-            elif t > end:
-                total += t - end
-                end = t
+    end = -1.0
+    for s, t in iv:
+        if s >= end:
+            total += t - s
+            end = t
+        elif t > end:
+            total += t - end
+            end = t
     return total / 1e3 / n_steps
 
 
