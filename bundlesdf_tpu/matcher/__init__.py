@@ -9,5 +9,8 @@ Backends:
   - `classical.OrbMatcher` — cv2 ORB + mutual NN, weight-free fallback
   - `loftr.LoftrMatcher` — flax/JAX LoFTR-style dense matcher (pretrained
     weights required for parity)
+  - `gt.GtMatcher` — GT-oracle debug matcher (ref
+    FeatureManager.cpp:990-1039 findCorresbyGroundtruth)
 """
 from bundlesdf_tpu.matcher.classical import OrbMatcher
+from bundlesdf_tpu.matcher.gt import GtMatcher
