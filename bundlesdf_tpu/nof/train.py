@@ -83,13 +83,35 @@ def train_steps(params, opt_state, rays_store, c2w, occ_grid, key,
         n_valid = n_rays_total
     opt = make_optimizer()
 
+    # Pack the whole store into ONE (R, C) f32 matrix so each scan step
+    # fetches its batch with a single row gather: TPU gathers are
+    # row-descriptor-bound, so one (n_rand, 12) gather beats 8 narrow ones.
+    # Every field is exactly f32-representable (frame_id/ray_type are small
+    # ints). The concat runs once per chunk, amortized over n_steps.
+    names = sorted(rays_store)
+    widths = [1 if rays_store[k].ndim == 1 else rays_store[k].shape[1]
+              for k in names]
+    packed_store = jnp.concatenate(
+        [rays_store[k].astype(jnp.float32).reshape(n_rays_total, -1)
+         for k in names], axis=1)
+
+    def unpack_batch(rows):
+        batch, o = {}, 0
+        for k, w in zip(names, widths):
+            col = rows[:, o:o + w]
+            if rays_store[k].ndim == 1:
+                col = col[:, 0]
+            batch[k] = col.astype(rays_store[k].dtype)
+            o += w
+        return batch
+
     def one_step(carry, i):
         params, opt_state = carry
         step = start_step + i
         k = jax.random.fold_in(key, i)
         k_batch, k_render = jax.random.split(k)
         idx = jax.random.randint(k_batch, (tcfg.n_rand,), 0, n_valid)
-        batch = jax.tree.map(lambda a: a[idx], rays_store)
+        batch = unpack_batch(packed_store[idx])
 
         trunc = truncation_at(step, tcfg, n_iters)
 
