@@ -61,7 +61,11 @@ class Bundler:
         # frame_id -> {(u,v) -> map point track {frame_id: (u,v)}}
         self._map_points: dict[int, dict] = {}
         self._rng = np.random.default_rng(0)
-        self._key = jax.random.PRNGKey(0)
+        # RANSAC RNG: a host int counter folded into the key INSIDE the
+        # fused programs — an eager jax.random.split per find_corres call
+        # was 2 device launches + an _unstack per frame on the tunnel
+        self._seed_ctr = 0
+        self._zero_feats = {}  # (F, nbits) -> cached device pad constants
         # device-resident frame-map pool; created at first frame (needs H,W)
         self.pool: FramePool | None = None
 
@@ -184,16 +188,15 @@ class Bundler:
                            np.deg2rad(cfg["max_rot_no_neighbor"]))
             hostm.append((np.stack([uA, vA], -1), np.stack([uB, vB], -1), c))
 
-        self._key, k = jax.random.split(self._key)
-        keys = jax.random.split(k, P)  # stays on device (a host pull here
-        # was one hidden ~26 ms tunnel round-trip per find_corres call)
+        self._seed_ctr += 1  # per-pair keys derive from this INSIDE the
+        # program (an eager split here was 2 launches + an _unstack)
         pool = self.pool
         res = lift_ransac_slots(
             pool.xyzs, pool.nrms, jnp.asarray(slots_a), jnp.asarray(slots_b),
             jnp.asarray(uvA), jnp.asarray(uvB), jnp.asarray(valid),
             jnp.asarray(conf), jnp.asarray(TA), jnp.asarray(TB),
             jnp.asarray(caps[:, 0]), jnp.asarray(caps[:, 1]),
-            jnp.asarray(keys), cfg["inlier_dist"],
+            np.int32(self._seed_ctr), cfg["inlier_dist"],
             float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
             n_trials=int(cfg["max_iter"]))
         res = jax.device_get(res)  # ONE sync for every pair's outputs
@@ -249,8 +252,14 @@ class Bundler:
         P = next(b for b in (1, 8, 16, 32, 64, 128, 256) if b >= len(live))
         F = matcher.FEAT_CAP
         nbits = feats[live[0]][0][2].shape[1]
-        zero_bits = jnp.zeros((F, nbits), jnp.int8)
-        zero_uv = jnp.zeros((F, 2), jnp.float32)
+        # pad constants cached on device (a fresh jnp.zeros is 2 eager
+        # launches per call through the tunnel)
+        zeros = self._zero_feats.get((F, nbits))
+        if zeros is None:
+            zeros = (jnp.zeros((F, nbits), jnp.int8),
+                     jnp.zeros((F, 2), jnp.float32))
+            self._zero_feats[(F, nbits)] = zeros
+        zero_bits, zero_uv = zeros
         colA, colB, uvcA, uvcB = [], [], [], []
         nA = np.zeros(P, np.int32)
         nB = np.zeros(P, np.int32)
@@ -282,8 +291,7 @@ class Bundler:
         uvcA += [zero_uv] * (P - len(live))
         uvcB += [zero_uv] * (P - len(live))
 
-        self._key, k_ = jax.random.split(self._key)
-        keys = jax.random.split(k_, P)  # device-resident (host pull = RTT)
+        self._seed_ctr += 1  # keys derive inside the program (see above)
         pool = self.pool
         # compact pull: RANSAC inliers only (top-256 by conf, int16 uv) —
         # the dev tunnel moves ~30 MB/s so the full (P,M=1024) tables cost
@@ -306,7 +314,8 @@ class Bundler:
             tuple(uvcB), jnp.asarray(nA), jnp.asarray(nB),
             jnp.asarray(slots_a), jnp.asarray(slots_b), jnp.asarray(TA),
             jnp.asarray(TB), jnp.asarray(caps[:, 0]),
-            jnp.asarray(caps[:, 1]), jnp.asarray(keys), cfg["inlier_dist"],
+            jnp.asarray(caps[:, 1]), np.int32(self._seed_ctr),
+            cfg["inlier_dist"],
             float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
             ratio=float(matcher.ratio), nbits=int(nbits),
             m_cap=min(M, F), n_trials=int(cfg["max_iter"]),
@@ -946,7 +955,8 @@ class Bundler:
             out = bundle_adjust_pooled(
                 p_xyzs, p_nrms, jnp.asarray(slots),
                 jnp.asarray(slot_live), jnp.asarray(poses),
-                jnp.asarray(frames[0].K, jnp.float32), jnp.asarray(pair_ij),
+                jnp.asarray(np.asarray(frames[0].K, np.float32)),
+                jnp.asarray(pair_ij),
                 jnp.asarray(corr_i_a), jnp.asarray(corr_j_a),
                 jnp.asarray(pi_a, jnp.float32), jnp.asarray(pj_a, jnp.float32),
                 jnp.asarray(valid), jnp.asarray(update_flags),

@@ -133,27 +133,31 @@ def covis_core(xyzs, nrms, valids, slots, Ts, thres_cos):
 
 @functools.partial(jax.jit, static_argnames=("n_trials",))
 def lift_ransac_slots(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
-                      TA, TB, cap_t, cap_r, key, inlier_dist,
+                      TA, TB, cap_t, cap_r, seed, inlier_dist,
                       cos_normal_angle, n_trials: int = 2000):
     """Fused correspondence lifting + gating + multi-pair RANSAC.
 
     @slots_a/@slots_b: (P,) pool slots; @uvA/@uvB: (P,M,2) int32 pixel
     coords (clipped in-bounds); @valid: (P,M) raw in-bounds mask;
     @conf: (P,M); @TA/@TB: (P,4,4) current poses (cam-in-model);
-    @cap_t/@cap_r: (P,) per-pair RANSAC pose caps; @key: (P,2) RNG keys.
+    @cap_t/@cap_r: (P,) per-pair RANSAC pose caps; @seed: int32 scalar —
+    per-pair RNG keys derive from it in-program (an eager host-side
+    split cost 2 device launches per call on the tunnel).
 
     Returns dict with per-match camera-frame lifts (pA,pB,nA,nB: (P,M,3)),
     the 3D-validity gate `ok` (P,M), RANSAC `inlier_mask` (P,M) and
     `n_inliers` (P,). One dispatch; one host pull gets everything.
     """
     return _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid,
-                             conf, TA, TB, cap_t, cap_r, key, inlier_dist,
+                             conf, TA, TB, cap_t, cap_r, seed, inlier_dist,
                              cos_normal_angle, n_trials)
 
 
 def _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
-                      TA, TB, cap_t, cap_r, key, inlier_dist,
+                      TA, TB, cap_t, cap_r, seed, inlier_dist,
                       cos_normal_angle, n_trials: int):
+    key = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(0), seed), slots_a.shape[0])
     cap, H, W, _ = xyzs.shape
     xyz_flat = xyzs.reshape(cap * H * W, 3)
     nrm_flat = nrms.reshape(cap * H * W, 3)
@@ -188,7 +192,7 @@ def _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
 @functools.partial(jax.jit, static_argnames=("ratio", "nbits", "m_cap",
                                              "n_trials", "k_pull"))
 def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
-                          slots_a, slots_b, TA, TB, cap_t, cap_r, key,
+                          slots_a, slots_b, TA, TB, cap_t, cap_r, seed,
                           inlier_dist, cos_normal_angle, ratio: float,
                           nbits: int, m_cap: int, n_trials: int = 2000,
                           k_pull: int = 0, xyzs_h=None, nrms_h=None,
@@ -232,7 +236,7 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
     uvA = jnp.clip(jnp.round(uvA_f).astype(jnp.int32), 0, hi)
     uvB = jnp.clip(jnp.round(uvB_f).astype(jnp.int32), 0, hi)
     out = _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid,
-                            conf, TA, TB, cap_t, cap_r, key, inlier_dist,
+                            conf, TA, TB, cap_t, cap_r, seed, inlier_dist,
                             cos_normal_angle, n_trials)
     # per-pair covisibility riding the same program (the non-neighbor
     # match-pair gate, ref getFeatureMatchPairs — a separate dispatch
@@ -273,6 +277,11 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
 def gather_slots(arr, slots):
     """Stack pool slots (for the BA map pre-pass): arr[slots]."""
     return arr[slots]
+
+
+@jax.jit
+def _slice_maps(depths, xyzs, nrms, slot):
+    return depths[slot], xyzs[slot], nrms[slot]
 
 
 class FramePool:
@@ -342,7 +351,10 @@ class FramePool:
          n_valid) = preprocess_into_pool(
             self.xyzs, self.nrms, self.depths, self.valids,
             self.xyzs_h, self.nrms_h, self.valids_h, slot,
-            jnp.asarray(depth, jnp.float32), jnp.asarray(K, jnp.float32),
+            jnp.asarray(np.asarray(depth, np.float32)),
+            jnp.asarray(np.asarray(K, np.float32)),  # host-side dtype cast:
+            # jnp.asarray(x, dtype) on a f64 input is an eager device
+            # convert_element_type launch
             jnp.asarray(mask),
             erode_radius=int(dp_cfg["erode"]["radius"]),
             erode_diff=dp_cfg["erode"]["diff"],
@@ -383,7 +395,10 @@ class FramePool:
     # -- reads -------------------------------------------------------------
 
     def host_maps(self, frame_id):
-        """Pull one frame's maps to host (offline/debug paths only)."""
+        """Pull one frame's maps to host (keyframe->NOF feed, offline and
+        debug paths): ONE sliced program + ONE transfer — three eager
+        `arr[slot]` reads were 6 launches and 3 pulls on the tunnel."""
         slot = self.slot_of[frame_id]
-        return (np.asarray(self.depths[slot]), np.asarray(self.xyzs[slot]),
-                np.asarray(self.nrms[slot]))
+        d, x, n = jax.device_get(_slice_maps(
+            self.depths, self.xyzs, self.nrms, np.int32(slot)))
+        return np.asarray(d), np.asarray(x), np.asarray(n)
