@@ -20,10 +20,24 @@ class OrbMatcher:
     # per-frame feature cache capacity (keyframes + window)
     CACHE_CAP = 256
 
-    def __init__(self, n_features: int = 2000, ratio: float = 0.85,
+    def __init__(self, n_features: int = 2000, ratio: float = 0.75,
+                 ratio_loose: float = 0.85, min_strict: int = 0,
                  feat_cap: int | None = None):
+        """@ratio: mutual ratio test threshold. The GT-oracle diagnostic
+        (docs/PERF.md) showed tracking error is match-ambiguity-bound:
+        0.75 tracks ~2.7x tighter than the old 0.85 default with zero extra
+        FAILs on the benchmark orbit (0.70 is tighter still at >=240p but
+        match-starves small/low-texture crops). @ratio_loose/@min_strict: OPT-IN
+        two-tier fallback (min_strict > 0) — pairs whose strict-gate match
+        count falls below min_strict rerun at ratio_loose. Measured to
+        COST accuracy wherever it triggers (2.9 -> 5.8 mm at min_strict=5
+        on the easy orbit) without rescuing degenerate wide-baseline
+        sequences, hence disabled by default; it exists as a safety valve
+        for match-starved real-world footage."""
         self.orb = cv2.ORB_create(nfeatures=n_features, fastThreshold=5)
         self.ratio = ratio
+        self.ratio_loose = ratio_loose
+        self.min_strict = int(min_strict)
         self.bf = cv2.BFMatcher(cv2.NORM_HAMMING)
         self._cache: dict[int, tuple] = {}
         if feat_cap is not None:
@@ -34,27 +48,40 @@ class OrbMatcher:
         kps, des = self.orb.detectAndCompute(gray, None)
         return kps, des
 
-    def _match_feats(self, kA, dA, kB, dB):
-        if dA is None or dB is None or len(kA) < 2 or len(kB) < 2:
-            return np.zeros((0, 5), np.float32)
-        # ratio test both directions -> mutual consistency
-        mAB = self.bf.knnMatch(dA, dB, k=2)
-        mBA = self.bf.knnMatch(dB, dA, k=2)
+    @staticmethod
+    def _mutual_ratio(mAB, mBA, ratio):
+        """[(queryIdx, trainIdx, distance)] passing the two-way ratio +
+        mutual-NN tests at @ratio."""
         fwd = {}
         for m in mAB:
-            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
+            if len(m) == 2 and m[0].distance < ratio * m[1].distance:
                 fwd[m[0].queryIdx] = m[0]
         bwd = {}
         for m in mBA:
-            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
+            if len(m) == 2 and m[0].distance < ratio * m[1].distance:
                 bwd[m[0].queryIdx] = m[0].trainIdx
+        return [(qi, m.trainIdx, m.distance) for qi, m in fwd.items()
+                if bwd.get(m.trainIdx, -1) == qi]
+
+    def _mutual_ratio_adaptive(self, dA, dB):
+        """Strict ratio when it yields enough matches, loose otherwise
+        (same semantics as the in-program gate in orb_match_core)."""
+        mAB = self.bf.knnMatch(dA, dB, k=2)
+        mBA = self.bf.knnMatch(dB, dA, k=2)
+        pairs = self._mutual_ratio(mAB, mBA, self.ratio)
+        if (len(pairs) < self.min_strict
+                and self.ratio_loose > self.ratio):
+            pairs = self._mutual_ratio(mAB, mBA, self.ratio_loose)
+        return pairs
+
+    def _match_feats(self, kA, dA, kB, dB):
+        if dA is None or dB is None or len(kA) < 2 or len(kB) < 2:
+            return np.zeros((0, 5), np.float32)
         rows = []
-        for qi, m in fwd.items():
-            if bwd.get(m.trainIdx, -1) == qi:
-                uA, vA = kA[qi].pt
-                uB, vB = kB[m.trainIdx].pt
-                conf = 1.0 / (1.0 + m.distance / 64.0)
-                rows.append([uA, vA, uB, vB, conf])
+        for qi, tj, dist in self._mutual_ratio_adaptive(dA, dB):
+            uA, vA = kA[qi].pt
+            uB, vB = kB[tj].pt
+            rows.append([uA, vA, uB, vB, 1.0 / (1.0 + dist / 64.0)])
         return np.asarray(rows, np.float32).reshape(-1, 5)
 
     def _match_feats_np(self, uvA, dA, uvB, dB):
@@ -62,21 +89,8 @@ class OrbMatcher:
         KeyPoint objects)."""
         if dA is None or dB is None or len(uvA) < 2 or len(uvB) < 2:
             return np.zeros((0, 5), np.float32)
-        mAB = self.bf.knnMatch(dA, dB, k=2)
-        mBA = self.bf.knnMatch(dB, dA, k=2)
-        fwd = {}
-        for m in mAB:
-            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
-                fwd[m[0].queryIdx] = m[0]
-        bwd = {}
-        for m in mBA:
-            if len(m) == 2 and m[0].distance < self.ratio * m[1].distance:
-                bwd[m[0].queryIdx] = m[0].trainIdx
-        rows = []
-        for qi, m in fwd.items():
-            if bwd.get(m.trainIdx, -1) == qi:
-                conf = 1.0 / (1.0 + m.distance / 64.0)
-                rows.append([*uvA[qi], *uvB[m.trainIdx], conf])
+        rows = [[*uvA[qi], *uvB[tj], 1.0 / (1.0 + dist / 64.0)]
+                for qi, tj, dist in self._mutual_ratio_adaptive(dA, dB)]
         return np.asarray(rows, np.float32).reshape(-1, 5)
 
     def predict(self, rgbAs, rgbBs):
@@ -192,7 +206,8 @@ class OrbMatcher:
         # outputs together
         res = jax.device_get(_orb_match_batch(
             tuple(colA), tuple(colB), jnp.asarray(nA), jnp.asarray(nB),
-            float(self.ratio), nbits))
+            float(self.ratio), nbits, float(self.ratio_loose),
+            int(self.min_strict)))
         j_best, accept, dist = res["j"], res["ok"], res["dist"]
         for k, i in enumerate(live):
             (uvA, *_), (uvB, *_) = feats[i]
@@ -205,24 +220,39 @@ class OrbMatcher:
         return out
 
 
-@functools.partial(jax.jit, static_argnames=("ratio", "nbits"))
-def _orb_match_batch(bitsA, bitsB, nA, nB, ratio: float, nbits: int):
+@functools.partial(jax.jit, static_argnames=("ratio", "nbits",
+                                             "ratio_loose", "min_strict"))
+def _orb_match_batch(bitsA, bitsB, nA, nB, ratio: float, nbits: int,
+                     ratio_loose: float = 0.0, min_strict: int = 0):
     """Batched mutual-ratio hamming matching on the MXU.
 
     @bitsA/@bitsB: length-P tuples of (F,nbits) +/-1 int8 arrays (padded
     rows are all -1 but are masked out via @nA/@nB); stacked in-program.
     sim = bitsA @ bitsB^T in [-nbits, nbits]; hamming = (nbits - sim)/2.
     Ratio test (best < ratio * second-best) in both directions + mutual-NN,
-    exactly the host _match_feats semantics.
+    exactly the host _match_feats semantics (incl. the adaptive loose
+    fallback; see orb_match_core).
     """
     return orb_match_core(jnp.stack(bitsA), jnp.stack(bitsB), nA, nB,
-                          ratio, nbits)
+                          ratio, nbits, ratio_loose, min_strict)
 
 
-def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits):
+def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits, ratio_loose=None,
+                   min_strict: int = 0):
     """Traceable core of the batched MXU hamming matcher (shared with the
     fused orb+lift+RANSAC program, tracker/pool.py).
-    @bitsA/@bitsB: (P,F,nbits) stacked +/-1 int8."""
+    @bitsA/@bitsB: (P,F,nbits) stacked +/-1 int8.
+
+    Adaptive ratio: the GT-oracle diagnostic (docs/PERF.md) showed pose
+    error is match-ambiguity-bound — a strict ratio (0.7) tracks ~4x
+    tighter than 0.85 — but strict starves hard wide-baseline pairs into
+    the FAIL cascade. Both gates come out of the SAME distance matrix, so
+    each pair uses the strict mask when it yields >= @min_strict matches
+    and the @ratio_loose mask otherwise, at zero extra device cost."""
+    if ratio_loose is None or ratio_loose <= ratio or min_strict <= 0:
+        ratio_loose = ratio
+        min_strict = 0
+
     def one(bA, bB, na, nb):
         # int8 +/-1 bits -> bf16 for the MXU; f32 accumulation is exact
         # (sums bounded by nbits=256)
@@ -242,16 +272,22 @@ def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits):
         d1 = jnp.take_along_axis(d, j1[:, None], axis=1)[:, 0]
         d_wo = d.at[jnp.arange(F), j1].set(big)
         d2 = jnp.min(d_wo, axis=1)
-        row_ok = (d1 < ratio * d2) & rowmask & (d1 < big)
         # column direction
         i1 = jnp.argmin(d, axis=0)
         c1 = jnp.take_along_axis(d, i1[None, :], axis=0)[0]
         d_wo_c = d.at[i1, jnp.arange(F)].set(big)
         c2 = jnp.min(d_wo_c, axis=0)
-        col_ok = (c1 < ratio * c2) & colmask & (c1 < big)
-        # mutual: A_i's best j must map back to i and pass its own ratio
-        mutual = (i1[j1] == jnp.arange(F)) & col_ok[j1]
-        ok = row_ok & mutual
+
+        def gate(r):
+            row_ok = (d1 < r * d2) & rowmask & (d1 < big)
+            col_ok = (c1 < r * c2) & colmask & (c1 < big)
+            # mutual: A_i's best j maps back to i and passes its own ratio
+            return row_ok & (i1[j1] == jnp.arange(F)) & col_ok[j1]
+
+        ok = gate(ratio)
+        if min_strict > 0:
+            ok = jnp.where(jnp.sum(ok) >= min_strict, ok,
+                           gate(ratio_loose))
         return {"j": j1, "ok": ok, "dist": d1}
 
     return jax.vmap(one)(bitsA, bitsB, nA, nB)

@@ -318,6 +318,8 @@ class Bundler:
             cfg["inlier_dist"],
             float(np.cos(np.deg2rad(cfg["inlier_normal_angle"]))),
             ratio=float(matcher.ratio), nbits=int(nbits),
+            ratio_loose=float(getattr(matcher, "ratio_loose", 0.0)),
+            min_strict=int(getattr(matcher, "min_strict", 0)),
             m_cap=min(M, F), n_trials=int(cfg["max_iter"]),
             k_pull=k_pull, **gate_args))
 

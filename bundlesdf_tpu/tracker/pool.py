@@ -190,13 +190,15 @@ def _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
 
 
 @functools.partial(jax.jit, static_argnames=("ratio", "nbits", "m_cap",
-                                             "n_trials", "k_pull"))
+                                             "n_trials", "k_pull",
+                                             "ratio_loose", "min_strict"))
 def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
                           slots_a, slots_b, TA, TB, cap_t, cap_r, seed,
                           inlier_dist, cos_normal_angle, ratio: float,
                           nbits: int, m_cap: int, n_trials: int = 2000,
                           k_pull: int = 0, xyzs_h=None, nrms_h=None,
-                          valids_h=None, covis_thres_cos=None):
+                          valids_h=None, covis_thres_cos=None,
+                          ratio_loose: float = 0.0, min_strict: int = 0):
     """The WHOLE find_corres device path as one program: batched MXU ORB
     matching (mutual ratio test) -> top-`m_cap` match selection by
     confidence -> correspondence lifting from the pool -> 3D gating ->
@@ -222,7 +224,7 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
     from bundlesdf_tpu.matcher.classical import orb_match_core
 
     match = orb_match_core(jnp.stack(bitsA), jnp.stack(bitsB), nA, nB,
-                           ratio, nbits)
+                           ratio, nbits, ratio_loose, min_strict)
     conf_all = jnp.where(match["ok"],
                          1.0 / (1.0 + match["dist"] / 64.0), 0.0)  # (P,F)
     n_raw = jnp.sum(match["ok"], axis=1).astype(jnp.int32)
