@@ -189,7 +189,11 @@ class OrbMatcher:
         P = next(b for b in (1, 8, 16, 32, 64, 128, 256) if b >= len(live))
         F = self.FEAT_CAP
         nbits = feats[live[0]][0][2].shape[1]
-        zero = jnp.zeros((F, nbits), jnp.int8)
+        # pad constant cached on device (a fresh jnp.zeros is an eager
+        # device launch — one tunnel RTT — per call)
+        zero = getattr(self, "_zero_dev", None)
+        if zero is None or zero.shape != (F, nbits):
+            zero = self._zero_dev = jnp.zeros((F, nbits), jnp.int8)
         colA, colB = [], []
         nA = np.zeros(P, np.int32)
         nB = np.zeros(P, np.int32)
@@ -278,11 +282,16 @@ def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits, ratio_loose=None,
         d_wo_c = d.at[i1, jnp.arange(F)].set(big)
         c2 = jnp.min(d_wo_c, axis=0)
 
+        # with < 2 candidates on either side the runner-up distance is the
+        # masked sentinel and the ratio test is vacuous; the host path
+        # (knnMatch len==2 filter) rejects such pairs — match it
+        two = (na >= 2) & (nb >= 2)
+
         def gate(r):
             row_ok = (d1 < r * d2) & rowmask & (d1 < big)
             col_ok = (c1 < r * c2) & colmask & (c1 < big)
             # mutual: A_i's best j maps back to i and passes its own ratio
-            return row_ok & (i1[j1] == jnp.arange(F)) & col_ok[j1]
+            return row_ok & (i1[j1] == jnp.arange(F)) & col_ok[j1] & two
 
         ok = gate(ratio)
         if min_strict > 0:

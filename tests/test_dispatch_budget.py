@@ -72,6 +72,12 @@ def test_steady_tracking_dispatch_budget(tmp_path):
     jax.profiler.stop_trace()
     n = _count_executes(d)
     assert n is not None, "no trace produced"
+    # lower bound keeps the guard honest: a steady frame MUST launch at
+    # least preprocess + one match program, so n ~ 0 means the executable
+    # event name no longer matches and the budget check is vacuous
+    assert n >= 2 * STEADY, (
+        f"only {n} executable launches found over {STEADY} frames — the "
+        "trace filter ('PjRtCpuExecutable::Execute') no longer matches")
     per_frame = n / STEADY
     assert per_frame <= BUDGET_PER_FRAME, (
         f"steady tracking now launches {per_frame:.1f} programs/frame "
