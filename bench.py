@@ -44,6 +44,12 @@ def _trace_device_ms(fn, n_steps: int):
         fn()
     finally:
         jax.profiler.stop_trace()
+    return _trace_device_ms_from_dir(d, n_steps)
+
+
+def _trace_device_ms_from_dir(d: str, n_steps: int):
+    """Parse a jax.profiler trace dir -> TPU-busy ms per step (global
+    interval union across device streams), or None without a TPU timeline."""
     paths = glob.glob(os.path.join(d, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -102,12 +108,17 @@ def main():
     m = runner.train(n_steps=runner.scan_chunk)
     np.asarray(m["loss"])  # host sync
 
+    # best of 3: run-to-run sigma through the dev tunnel is ~0.5 steps/s
+    # quiet but tunnel congestion can inflate a single run 2-10x; the best
+    # run is the least-congested estimate of the same fixed program
     n = 2 * runner.scan_chunk
-    t0 = time.perf_counter()
-    m = runner.train(n_steps=n)
-    np.asarray(m["loss"])  # host sync (block_until_ready is unreliable
-    # through the axon tunnel; a host transfer is a real barrier)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        m = runner.train(n_steps=n)
+        np.asarray(m["loss"])  # host sync (block_until_ready is unreliable
+        # through the axon tunnel; a host transfer is a real barrier)
+        dt = min(dt, time.perf_counter() - t0)
     steps_per_sec = n / dt
 
     # hard per-step device time from a profiler trace (the wall steps/s
@@ -157,24 +168,44 @@ def bench_tracking(n_frames=70, warmup=40):
                         start_nerf_keyframes=10 ** 9)  # NOF off: tracker only
 
     times = []
+    n_traced = 10
+    trace_from = n_frames - n_traced
+    dev_ms = None
     for i in range(n_frames):
+        if i == trace_from:
+            # device-ms/frame over the last steady frames: the wall FPS
+            # through the dev tunnel is RTT-bound (docs/PERF.md), so the
+            # chip-side claim rides in the same JSON record
+            import jax
+            shutil.rmtree("/tmp/bench_track_trace", ignore_errors=True)
+            jax.profiler.start_trace("/tmp/bench_track_trace")
         t0 = time.perf_counter()
         tracker.run(seq["colors"][i], seq["depths"][i].copy(), seq["K"],
                     seq["id_strs"][i], mask=seq["masks"][i])
         times.append(time.perf_counter() - t0)
+    try:
+        import jax
+        jax.profiler.stop_trace()
+        dev_ms = _trace_device_ms_from_dir("/tmp/bench_track_trace",
+                                           n_traced)
+    except Exception:
+        dev_ms = None
     # steady state = the tail: jit compiles (one per shape bucket, ~10s
     # each through the dev tunnel) land over the first ~2/3 of the run as
     # keyframe-count buckets fill
     steady = np.asarray(times[-max(n_frames - warmup, 10):])
     fps = 1.0 / np.median(steady)
 
-    print(json.dumps({
+    rec = {
         "metric": "tracking_fps",
         "value": round(float(fps), 2),
         "unit": "frames/s (480x640, steady-state median, ORB matcher)",
         # reference "near real-time" ~10 FPS (paper abstract / readme.md:8)
         "vs_baseline": round(float(fps) / 10.0, 2),
-    }), flush=True)
+    }
+    if dev_ms is not None:
+        rec["device_ms_per_frame"] = round(dev_ms, 2)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -194,6 +194,44 @@ class NofRunner:
 
         self.rays = self._pad_ray_store(self._build_ray_store())
 
+        # data-parallel ray training over a device mesh (cfg 'dp_devices'
+        # > 1): the scanned train step runs under shard_map with the ray
+        # store sharded across devices and gradients pmean'd over ICI
+        # (parallel/dp.py). The canonical single-device self.rays stays
+        # authoritative for render/BA/export paths; the sharded copy is
+        # rebuilt lazily whenever the store changes.
+        self.dp_mesh = None
+        self._dp_rays = None
+        n_dp = int(cfg.get("dp_devices", 0))
+        if n_dp > 1:
+            devs = jax.devices()
+            if len(devs) >= n_dp:
+                from bundlesdf_tpu.parallel.dp import make_ray_mesh
+                self.dp_mesh = make_ray_mesh(devs[:n_dp])
+            else:
+                logging.warning(f"dp_devices={n_dp} but only {len(devs)} "
+                                "devices visible; training single-device")
+
+    def _dispatch_train_steps(self, chunk: int, k):
+        """One train_steps dispatch, routed to the single-chip scan or the
+        shard_map DP variant when a dp mesh is configured."""
+        if self.dp_mesh is None:
+            return train_steps(
+                self.params, self.opt_state, self.rays, self.c2w_array,
+                self.occ_grid, k,
+                jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
+                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters,
+                n_valid=jnp.asarray(self.n_rays_valid, jnp.int32))
+        from bundlesdf_tpu.parallel.dp import shard_rays, train_steps_dp
+        if self._dp_rays is None:
+            self._dp_rays, self._dp_n_valid = shard_rays(
+                self.rays, self.dp_mesh, n_valid=self.n_rays_valid)
+        return train_steps_dp(
+            self.params, self.opt_state, self._dp_rays, self.c2w_array,
+            self.occ_grid, k, jnp.asarray(self.global_step, jnp.int32),
+            self.dp_mesh, self.spec, self.rcfg, self.lcfg, self.tcfg,
+            chunk, self.N_iters, n_valid_local=self._dp_n_valid)
+
     # -- dataset -----------------------------------------------------------
 
     def _build_occupancy(self) -> OccupancyGrid:
@@ -408,6 +446,7 @@ class NofRunner:
         self.rays = self._pad_ray_store(
             {k: jnp.concatenate([real[k], new_rays[k]], axis=0)
              for k in real})
+        self._dp_rays = None  # sharded copy rebuilt from the new store
 
     # -- training ----------------------------------------------------------
 
@@ -437,12 +476,8 @@ class NofRunner:
             chunk = (self.scan_chunk if remaining >= self.scan_chunk
                      else remaining)
             self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, metrics = train_steps(
-                self.params, self.opt_state, self.rays, self.c2w_array,
-                self.occ_grid, k,
-                jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
-                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters,
-                n_valid=jnp.asarray(self.n_rays_valid, jnp.int32))
+            self.params, self.opt_state, metrics = \
+                self._dispatch_train_steps(chunk, k)
             prev_step = self.global_step
             self.global_step += chunk
             remaining -= chunk
@@ -494,12 +529,8 @@ class NofRunner:
                 break
             chunk = min(self.scan_chunk, st["remaining"])
             self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, metrics = train_steps(
-                self.params, self.opt_state, self.rays, self.c2w_array,
-                self.occ_grid, k,
-                jnp.asarray(self.global_step, dtype=jnp.int32), self.spec,
-                self.rcfg, self.lcfg, self.tcfg, chunk, self.N_iters,
-                n_valid=jnp.asarray(self.n_rays_valid, jnp.int32))
+            self.params, self.opt_state, metrics = \
+                self._dispatch_train_steps(chunk, k)
             self.global_step += chunk
             st["remaining"] -= chunk
             st["metrics"].append(metrics)

@@ -80,6 +80,14 @@ class HashGridSpec:
     # reference stores its whole table in fp16 (torch-ngp half path), so
     # bf16 features are more faithful than that. False -> exact f32.
     table_bf16: bool = False
+    # two-tier ray-sorted run budgets (dense levels with K >= 32): rays
+    # are sorted by run count; the top tier_frac get budget min(S, 2K)
+    # (strictly more exact than K), the rest K//4. Run counts concentrate
+    # hard (online finest level: mean 20, p95 50 at K=128), so ~45% of
+    # the row-count-bound gather/scatter rows were sentinel waste. Guarded
+    # by a lax.cond: when more than tier_frac*R rays exceed K//4 runs the
+    # level falls back to the exact single-budget path. 0 -> off.
+    tier_frac: float = 0.25
 
     @property
     def table_size(self) -> int:
@@ -252,6 +260,64 @@ def _dedup_level_features(packed, ids, K: int, W: int, n_rows: int,
     return jax.checkpoint(broadcast)(got, run_id)
 
 
+@jax.custom_vjp
+def _permute_rows(x, perm, inv):
+    """Differentiable row permutation whose VJP is a GATHER by the inverse
+    permutation (the naive `x[perm]` adjoint is an XLA scatter, ~100ns/row
+    on v5e vs ~12-21ns/row for the gather). @perm/@inv are int32 inverse
+    permutation pairs (non-differentiable)."""
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return x[perm], (perm, inv)
+
+
+def _permute_rows_bwd(res, g):
+    perm, inv = res
+    return (g[inv],
+            np.zeros(perm.shape, jax.dtypes.float0),
+            np.zeros(inv.shape, jax.dtypes.float0))
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def _dedup_two_tier(packed, ids, K: int, W: int, n_rows: int, X: int,
+                    method: str, m_cap_frac: float, bf16: bool):
+    """Two-tier run-budget dedup: sort rays by voxel-run count, give the
+    top X rays budget K_hi = min(S, 2K) (a superset of the single-budget
+    K — strictly less clamping) and the rest K_lo = K//4. Whenever any
+    rest-tier ray has more than K_lo runs the whole level falls back to
+    the single-budget path (same output as before), so two-tier output is
+    never LESS exact than the K-budget baseline. Ray permutation costs
+    only R gather rows (row-count-bound, R ~ 2k) while the slot gather
+    and its scatter transpose shrink ~2x at the online workload."""
+    R, S = ids.shape
+    K_lo = max(8, (K // 4 // 8) * 8)
+    K_hi = min(S, 2 * K)
+    n_runs = jnp.sum(_run_starts(ids).astype(jnp.int32), axis=1)    # (R,)
+    iota = jnp.arange(R, dtype=jnp.int32)
+    neg_sorted, perm = jax.lax.sort((-n_runs, iota), num_keys=1)
+    _, inv = jax.lax.sort((perm, iota), num_keys=1)
+    ok = -neg_sorted[X] <= K_lo
+
+    def tiered(_):
+        ids_s = ids[perm]
+        f_hi = _dedup_level_features(packed, ids_s[:X], K_hi, W, n_rows,
+                                     method, m_cap_frac, bf16)
+        f_lo = _dedup_level_features(packed, ids_s[X:], K_lo, W, n_rows,
+                                     method, m_cap_frac, bf16)
+        return _permute_rows(jnp.concatenate([f_hi, f_lo], axis=0),
+                             inv, perm)
+
+    def single(_):
+        return _dedup_level_features(packed, ids, K, W, n_rows, method,
+                                     m_cap_frac, bf16)
+
+    return jax.lax.cond(ok, tiered, single, None)
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "ray_mode"))
 def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
     """Encode points with the multires hash grid.
@@ -305,10 +371,17 @@ def hashgrid_encode(table, x, spec: HashGridSpec, ray_mode: bool = False):
             if use_ray:
                 R = N // S_ray
                 K = min(spec.run_budget(l), S_ray)
-                f = _dedup_level_features(
-                    packed, ids.reshape(R, S_ray), K, W, n_rows,
-                    spec.scatter_method, spec.scatter_m_cap_frac,
-                    spec.scatter_bf16).reshape(N, 8, C)
+                X = (int(R * spec.tier_frac) // 8) * 8
+                if spec.tier_frac > 0 and K >= 32 and X >= 8 and R - X >= 8:
+                    f = _dedup_two_tier(
+                        packed, ids.reshape(R, S_ray), K, W, n_rows, X,
+                        spec.scatter_method, spec.scatter_m_cap_frac,
+                        spec.scatter_bf16).reshape(N, 8, C)
+                else:
+                    f = _dedup_level_features(
+                        packed, ids.reshape(R, S_ray), K, W, n_rows,
+                        spec.scatter_method, spec.scatter_m_cap_frac,
+                        spec.scatter_bf16).reshape(N, 8, C)
             else:
                 f = packed[ids].reshape(N, 8, C)
             outs.append(jnp.sum(f.astype(jnp.float32)

@@ -28,9 +28,20 @@ def make_ray_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def shard_rays(rays_store: dict, mesh: Mesh, axis: str = "dp") -> dict:
+def shard_rays(rays_store: dict, mesh: Mesh, axis: str = "dp",
+               n_valid: int | None = None):
     """Pad the ray store to a multiple of the mesh size and place it with
-    rays sharded across devices."""
+    rays sharded across devices.
+
+    When the store has a valid PREFIX of @n_valid rows followed by padding
+    (the runner's bucketed store), a contiguous shard split would hand
+    later devices all-padding shards. Rows are therefore RESTRIPED
+    round-robin (global row j*n_dev + s -> shard s, local row j) so every
+    shard's valid rows are again a prefix of ~n_valid/n_dev rows. Returns
+    (sharded_store, n_valid_local); samplers must bound indices by
+    n_valid_local. With n_valid=None no restriping happens and every row
+    is assumed real (n_valid_local = rows/n_dev).
+    """
     n_dev = mesh.shape[axis]
     n = rays_store["depth"].shape[0]
     n_pad = -(-n // n_dev) * n_dev
@@ -39,9 +50,15 @@ def shard_rays(rays_store: dict, mesh: Mesh, axis: str = "dp") -> dict:
         if n_pad != n:
             pad = [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1)
             a = jnp.pad(a, pad)
+        if n_valid is not None:
+            a = (a.reshape(n_pad // n_dev, n_dev, *a.shape[1:])
+                 .swapaxes(0, 1).reshape(n_pad, *a.shape[1:]))
         return jax.device_put(a, NamedSharding(mesh, P(axis)))
 
-    return {k: place(v) for k, v in rays_store.items()}
+    out = {k: place(v) for k, v in rays_store.items()}
+    n_valid_local = (n_pad // n_dev if n_valid is None
+                     else max(1, min(n_valid, n) // n_dev))
+    return out, n_valid_local
 
 
 @functools.partial(
@@ -53,29 +70,37 @@ def shard_rays(rays_store: dict, mesh: Mesh, axis: str = "dp") -> dict:
 def train_steps_dp(params, opt_state, rays_sharded, c2w, occ_grid, key,
                    start_step, mesh: Mesh, spec: NofSpec, rcfg: RenderConfig,
                    lcfg: LossConfig, tcfg: TrainConfig, n_steps: int,
-                   n_iters: int):
+                   n_iters: int, n_valid_local=None):
     """DP variant of `train_steps`: per-device sub-batches of
-    n_rand/n_devices rays, psum'd grads/metrics, replicated update."""
+    n_rand/n_devices rays, psum'd grads/metrics, replicated update.
+    @n_valid_local: per-shard real-row count from `shard_rays` (traced
+    scalar; None -> every local row is real)."""
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     per_dev = max(1, tcfg.n_rand // n_dev)
     opt = make_optimizer()
+    if n_valid_local is None:
+        n_valid_local = rays_sharded["depth"].shape[0] // n_dev
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(axis), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
+        # the Pallas sorted-tiles scatter engine (ops/scatter.py) declares
+        # plain ShapeDtypeStruct out_shapes without vma annotations; the
+        # varying-across-mesh check rejects those inside shard_map
+        check_vma=False,
     )
-    def run(params, opt_state, rays_shard, c2w, occ_grid, key, start_step):
+    def run(params, opt_state, rays_shard, c2w, occ_grid, key, start_step,
+            n_valid_local):
         me = jax.lax.axis_index(axis)
-        n_local = rays_shard["depth"].shape[0]
 
         def one_step(carry, i):
             params, opt_state = carry
             step = start_step + i
             k = jax.random.fold_in(jax.random.fold_in(key, i), me)
             k_batch, k_render = jax.random.split(k)
-            idx = jax.random.randint(k_batch, (per_dev,), 0, n_local)
+            idx = jax.random.randint(k_batch, (per_dev,), 0, n_valid_local)
             batch = jax.tree.map(lambda a: a[idx], rays_shard)
             trunc = truncation_at(step, tcfg, n_iters)
 
@@ -104,4 +129,4 @@ def train_steps_dp(params, opt_state, rays_sharded, c2w, occ_grid, key,
         return params, opt_state, metrics
 
     return run(params, opt_state, rays_sharded, c2w, occ_grid, key,
-               start_step)
+               start_step, jnp.asarray(n_valid_local, jnp.int32))

@@ -1,0 +1,67 @@
+"""Data-parallel NOF training wired through NofRunner (cfg dp_devices):
+the shard_map DP step must train to a loss comparable with the
+single-device scan, across continual add_new_frames hand-offs."""
+import jax
+import numpy as np
+
+from synthetic import cube_orbit_sequence
+
+from bundlesdf_tpu.config import default_nerf_config
+from bundlesdf_tpu.nof.runner import NofRunner, preprocess_frame_data
+from bundlesdf_tpu.utils.common import GLCAM_IN_CVCAM
+
+
+def _make_runner(dp_devices=0, n_frames=3, seed=0):
+    seq = cube_orbit_sequence(n_frames=n_frames + 1, H=48, W=64,
+                              radius=0.45, obj_size=0.08)
+    sc = 0.9 / 0.6
+    cfg = default_nerf_config()
+    cfg.update(dict(
+        sc_factor=sc, translation=[0.0, 0.0, 0.0], n_step=40, N_rand=256,
+        N_samples=8, N_samples_around_depth=8, num_levels=2, finest_res=32,
+        base_res=8, log2_hashmap_size=12, n_trace_steps=32,
+        octree_smallest_voxel_size=2.0 / 32 / sc,
+        octree_dilate_size=2.0 / 32 / sc, dp_devices=dp_devices))
+    poses_gl = seq["cam_in_obs"] @ GLCAM_IN_CVCAM
+    rgbs, depths, masks, normals, poses = preprocess_frame_data(
+        seq["colors"].copy(), seq["depths"].copy(), seq["masks"].copy(),
+        None, poses_gl.copy(), sc, np.zeros(3))
+    r = NofRunner(cfg, rgbs[:n_frames], depths[:n_frames], masks[:n_frames],
+                  None if normals is None else normals[:n_frames],
+                  poses[:n_frames], seq["K"], seed=seed)
+    # add_new_frames takes only the NEW frames but ALL frames' poses
+    extra = (rgbs[n_frames:], depths[n_frames:], masks[n_frames:],
+             None if normals is None else normals[n_frames:], poses)
+    return r, extra
+
+
+def test_dp_runner_trains():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    r, _ = _make_runner(dp_devices=8)
+    assert r.dp_mesh is not None
+    m = r.train(n_steps=40)
+    losses = np.asarray(m["loss"])
+    assert np.isfinite(losses).all()
+    # trained down vs the start (generous: tiny model, 40 steps)
+    assert losses[-5:].mean() < losses[:5].mean()
+
+
+def test_dp_matches_single_device_quality():
+    r_dp, _ = _make_runner(dp_devices=8, seed=1)
+    r_sd, _ = _make_runner(dp_devices=0, seed=1)
+    m_dp = r_dp.train(n_steps=40)
+    m_sd = r_sd.train(n_steps=40)
+    # different RNG streams -> not bitwise; final loss must be in the same
+    # regime (both converging on the same tiny scene)
+    f_dp = float(np.asarray(m_dp["loss"])[-5:].mean())
+    f_sd = float(np.asarray(m_sd["loss"])[-5:].mean())
+    assert f_dp < 3.0 * f_sd + 1e-3, (f_dp, f_sd)
+
+
+def test_dp_survives_add_new_frames():
+    r, extra = _make_runner(dp_devices=8)
+    r.train(n_steps=10)
+    rgbs, depths, masks, normals, poses = extra
+    r.add_new_frames(rgbs, depths, masks, normals, poses)
+    m = r.train(n_steps=10)
+    assert np.isfinite(np.asarray(m["loss"])).all()
