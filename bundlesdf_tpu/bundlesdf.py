@@ -60,8 +60,13 @@ class BundleSdf:
             # weights-free fallback
             ckpt = self.cfg_track.get("loftr_ckpt", "")
             if ckpt and os.path.exists(ckpt):
-                from bundlesdf_tpu.matcher.loftr import LoftrMatcher
-                self.matcher = LoftrMatcher(ckpt_path=ckpt)
+                from bundlesdf_tpu.matcher.loftr import (LoftrConfig,
+                                                         LoftrMatcher)
+                # bf16 inference by default — the reference wrapper runs
+                # the net under AMP autocast (loftr_wrapper.py:43-56)
+                self.matcher = LoftrMatcher(
+                    ckpt_path=ckpt, cfg=LoftrConfig(
+                        amp=bool(self.cfg_track.get("loftr_amp", True))))
             else:
                 self.matcher = OrbMatcher()
         self.bundler = Bundler(self.cfg_track, self.matcher)

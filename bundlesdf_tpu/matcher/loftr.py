@@ -46,6 +46,11 @@ class LoftrConfig:
     border_rm: int = 2
     max_matches: int = 1024      # static top-K slots
     fine_concat_coarse: bool = True
+    # bf16 feature extraction + transformers (matching math stays f32) —
+    # the reference wrapper runs the net under torch AMP autocast
+    # (loftr_wrapper.py:43-56); bf16 has more exponent range than the
+    # fp16 the reference uses, so this is numerically safer than parity
+    amp: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -98,9 +103,12 @@ def _init_linear(key, cin, cout, bias=False):
 
 
 def _layernorm(params, x, eps=1e-5):
-    mu = x.mean(axis=-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + eps) * params["g"] + params["b"]
+    # stats in f32 even under amp (torch autocast keeps LN in fp32)
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (x32 - mu) / jnp.sqrt(var + eps) * params["g"] + params["b"]
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +142,8 @@ def _upsample2x_align_corners(x):
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
     x1 = jnp.minimum(x0 + 1, W - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
+    wy = (ys - y0)[None, :, None, None].astype(x.dtype)
+    wx = (xs - x0)[None, None, :, None].astype(x.dtype)
     a = x[:, y0][:, :, x0]
     b = x[:, y0][:, :, x1]
     c = x[:, y1][:, :, x0]
@@ -318,15 +326,22 @@ def loftr_forward(params, img0, img1, cfg: LoftrConfig = LoftrConfig(),
     Wwin = cfg.fine_window
 
     x = jnp.stack([img0, img1])[..., None]  # (2,H,W,1)
+    if cfg.amp:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+        x = x.astype(jnp.bfloat16)
     feat_c, feat_f = backbone_forward(params["backbone"], x)
-    pe = jnp.asarray(_sine_pos_encoding(cfg.d_coarse, hc, wc))
+    pe = jnp.asarray(_sine_pos_encoding(cfg.d_coarse, hc, wc),
+                     dtype=feat_c.dtype)
     feat_c = (feat_c + pe[None]).reshape(2, hc * wc, cfg.d_coarse)
     fc0, fc1 = _transformer(params["coarse_layers"], feat_c[:1], feat_c[1:2],
                             cfg.nhead)
 
-    # dual-softmax confidence (ref coarse_matching.py:112-119)
-    f0 = fc0[0] / cfg.d_coarse ** 0.5
-    f1 = fc1[0] / cfg.d_coarse ** 0.5
+    # dual-softmax confidence in f32 (ref coarse_matching.py:112-119;
+    # torch autocast also computes softmax in fp32)
+    f0 = fc0[0].astype(jnp.float32) / cfg.d_coarse ** 0.5
+    f1 = fc1[0].astype(jnp.float32) / cfg.d_coarse ** 0.5
     sim = (f0 @ f1.T) / cfg.dsmax_temperature  # (L,S)
     conf = jax.nn.softmax(sim, axis=0) * jax.nn.softmax(sim, axis=1)
 
@@ -390,7 +405,8 @@ def loftr_forward(params, img0, img1, cfg: LoftrConfig = LoftrConfig(),
 
     # expectation subpixel refinement (ref fine_matching.py:42-60)
     center = win0[:, (Wwin * Wwin) // 2, :]  # (K,128)
-    sim_f = jnp.einsum("kc,krc->kr", center, win1) / cfg.d_fine ** 0.5
+    sim_f = jnp.einsum("kc,krc->kr", center, win1).astype(
+        jnp.float32) / cfg.d_fine ** 0.5
     heat = jax.nn.softmax(sim_f, axis=-1)  # (K,25)
     grid = jnp.stack([dx.ravel(), dy.ravel()], -1).astype(jnp.float32) / r
     expect = heat @ grid  # (K,2) in [-1,1]
@@ -512,7 +528,12 @@ class LoftrMatcher:
     latency each on the axon setup).
     """
 
-    BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+    # Device micro-batch is capped at 16: the fine-level window gather
+    # allocates ~0.4 GB of HLO temps per pair at 400x400 (batch 64 asks
+    # for 25 GB and fails HBM compile on a 16 GB v5e). A reference-sized
+    # batch of 64 pairs (loftr_wrapper.py:43-56) loops 4x over the one
+    # compiled batch-16 program — throughput, not peak memory, scales.
+    BUCKETS = (1, 2, 4, 8, 16)
 
     def __init__(self, params=None, ckpt_path=None,
                  cfg: LoftrConfig = LoftrConfig(), seed=0):

@@ -229,3 +229,30 @@ def test_pipeline_auto_selects_loftr_when_ckpt_configured(tmp_path):
     b2 = BundleSdf(cfg_track=cfg_t2, cfg_nerf=default_nerf_config(),
                    matcher=m)
     assert b2.matcher is m
+
+
+def test_amp_forward_close_to_f32():
+    """cfg.amp (bf16 features/transformers, f32 matching math — the
+    reference wrapper's AMP autocast, loftr_wrapper.py:43-56) must keep
+    the dense coarse confidence close to the f32 forward."""
+    import dataclasses
+
+    import jax
+
+    cfg = LoftrConfig(initial_dim=8, block_dims=(8, 12, 16), d_coarse=16,
+                      d_fine=8, nhead=2, n_coarse_layers=1,
+                      max_matches=16, match_thr=1e-4)
+    params = init_loftr_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    img0 = jnp.asarray(rng.uniform(0, 1, (32, 32)).astype(np.float32))
+    img1 = jnp.asarray(rng.uniform(0, 1, (32, 32)).astype(np.float32))
+    out32 = loftr_forward(params, img0, img1, cfg, debug=True)
+    out16 = loftr_forward(params, img0, img1,
+                          dataclasses.replace(cfg, amp=True), debug=True)
+    c32 = np.asarray(out32["conf_matrix"]).ravel()
+    c16 = np.asarray(out16["conf_matrix"]).ravel()
+    assert np.abs(c32 - c16).max() < 0.05
+    # same argmax structure on the confident rows
+    corr = np.corrcoef(c32, c16)[0, 1]
+    assert corr > 0.99
+    assert out16["uv0"].dtype == jnp.float32
