@@ -138,6 +138,9 @@ def main():
                          "forcing FAIL frames + relocalization")
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--refine_steps", type=int, default=2000)
+    ap.add_argument("--online_steps", type=int, default=0,
+                    help="override online NOF n_step (0 = reference 500) "
+                         "to bound per-keyframe wall in short runs")
     ap.add_argument("--quick", action="store_true",
                     help="small refine config for smoke-level runs")
     ap.add_argument("--report", default="")
@@ -160,8 +163,10 @@ def main():
             overrides.update(dict(num_levels=6, finest_res=128,
                                   N_samples_around_depth=64,
                                   n_train_image=60, mesh_resolution=0.004))
+        online = {"n_step": args.online_steps} if args.online_steps else None
         run_one_video(video_dir, out_folder, stride=args.stride,
-                      debug_level=1, refine_overrides=overrides)
+                      debug_level=1, refine_overrides=overrides,
+                      online_overrides=online)
     wall = time.perf_counter() - t0
 
     gt_poses = np.linalg.inv(seq["cam_in_obs"])[::args.stride]

@@ -69,10 +69,16 @@ def make_configs(out_folder, debug_level=2):
 
 
 def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
-                  stride=1, debug_level=2, refine_overrides=None):
+                  stride=1, debug_level=2, refine_overrides=None,
+                  online_overrides=None):
+    """@online_overrides: optional deltas on the ONLINE nerf config (e.g.
+    n_step to bound per-keyframe NOF wall in benchmark harnesses; the
+    reference exposes the same knob as config.yml:2)."""
     set_seed(0)
     os.makedirs(out_folder, exist_ok=True)
     cfg_track, cfg_nerf = make_configs(out_folder, debug_level)
+    if online_overrides:
+        cfg_nerf.update(online_overrides)
     dump_config(cfg_track, f"{out_folder}/config_bundletrack.yml")
     dump_config(cfg_nerf, f"{out_folder}/config_nerf.yml")
 
