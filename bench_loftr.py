@@ -19,9 +19,7 @@ import numpy as np
 
 def main():
     import jax
-    from bundlesdf_tpu.matcher.loftr import LoftrMatcher
-
-    from bundlesdf_tpu.matcher.loftr import LoftrConfig
+    from bundlesdf_tpu.matcher.loftr import LoftrConfig, LoftrMatcher
 
     rng = np.random.default_rng(0)
     # the pipeline feeds mask-bbox crops zoomed to 400x400 (ref

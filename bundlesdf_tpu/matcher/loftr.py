@@ -549,6 +549,15 @@ class LoftrMatcher:
             self.params = convert_torch_state_dict(sd, cfg)
         else:
             self.params = init_loftr_params(jax.random.PRNGKey(seed), cfg)
+        if cfg.amp:
+            # cast weights to bf16 ONCE here: casting inside the jitted
+            # forward re-ran the conversion per dispatch and kept both the
+            # f32 and bf16 copies of every weight live in HBM (the
+            # in-forward tree-map below stays as a no-op for direct
+            # loftr_forward callers that pass f32 params)
+            self.params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, self.params)
 
     def _to_gray(self, img):
         import cv2

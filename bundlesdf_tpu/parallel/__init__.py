@@ -7,5 +7,6 @@ TPU-native scaling axes are:
 Collectives are XLA psum/all_gather over ICI — no NCCL/MPI equivalent
 exists or is needed.
 """
-from bundlesdf_tpu.parallel.dp import (make_ray_mesh, shard_rays,
+from bundlesdf_tpu.parallel.dp import (grads_on_batch_dp, make_ray_mesh,
+                                       shard_batch, shard_rays,
                                        train_steps_dp)

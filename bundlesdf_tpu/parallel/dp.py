@@ -62,6 +62,49 @@ def shard_rays(rays_store: dict, mesh: Mesh, axis: str = "dp",
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mesh", "spec", "rcfg", "lcfg"))
+def grads_on_batch_dp(params, batch_sharded, c2w, occ_grid, key, trunc,
+                      mesh: Mesh, spec: NofSpec, rcfg: RenderConfig,
+                      lcfg: LossConfig):
+    """Gradient of the mean loss over ONE fixed ray batch, data-parallel:
+    each device takes the mean-loss gradient over its equal-size shard and
+    the shards are pmean'd. Every default loss term is a plain batch mean
+    (losses.py), so this must EQUAL the single-device gradient on the same
+    batch to f32 reassociation error — the multi-chip correctness pin a
+    wrong psum denominator or a dropped shard would fail
+    (tests/test_dp_runner.py::test_dp_grads_equal_single_device and the
+    driver's dryrun_multichip both assert it)."""
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # Pallas scatter out_shapes lack vma annotations
+    )
+    def run(params, batch, c2w, occ_grid):
+        def loss_fn(p):
+            out = render_rays(p, spec, rcfg, batch, c2w, occ_grid, key,
+                              perturb=False, trunc=trunc)
+            return nof_loss(out, batch, p, trunc, lcfg)[0]
+
+        return jax.lax.pmean(jax.grad(loss_fn)(params), axis)
+
+    return run(params, batch_sharded, c2w, occ_grid)
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp"):
+    """Place one fixed ray batch with rows split across devices (rows must
+    divide the mesh size; contiguous blocks — row order is irrelevant to
+    the pmean'd gradient)."""
+    n_dev = mesh.shape[axis]
+    n = batch["depth"].shape[0]
+    assert n % n_dev == 0, (n, n_dev)
+    sh = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("mesh", "spec", "rcfg", "lcfg", "tcfg", "n_steps",
                      "n_iters"),

@@ -77,12 +77,16 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
     set_seed(0)
     os.makedirs(out_folder, exist_ok=True)
     cfg_track, cfg_nerf = make_configs(out_folder, debug_level)
-    if online_overrides:
-        cfg_nerf.update(online_overrides)
+    # dump the PRE-override config: run_one_video_global_nerf reloads
+    # config_nerf.yml as the refine base, so benchmark-only online knobs
+    # (e.g. n_step) must not leak into the offline refine settings
     dump_config(cfg_track, f"{out_folder}/config_bundletrack.yml")
     dump_config(cfg_nerf, f"{out_folder}/config_nerf.yml")
+    cfg_nerf_online = copy.deepcopy(cfg_nerf)
+    if online_overrides:
+        cfg_nerf_online.update(online_overrides)
 
-    tracker = BundleSdf(cfg_track=cfg_track, cfg_nerf=cfg_nerf,
+    tracker = BundleSdf(cfg_track=cfg_track, cfg_nerf=cfg_nerf_online,
                         start_nerf_keyframes=5, use_gui=use_gui)
     reader = YcbineoatReader(video_dir=video_dir, shorter_side=480)
 

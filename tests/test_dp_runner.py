@@ -46,16 +46,60 @@ def test_dp_runner_trains():
     assert losses[-5:].mean() < losses[:5].mean()
 
 
+def test_dp_grads_equal_single_device():
+    """The multi-chip correctness pin: shard_map + pmean gradients on a
+    fixed batch must EQUAL the single-device gradient on the same batch
+    (every default loss term is a plain batch mean, so per-shard means
+    pmean'd reproduce the global mean exactly up to f32 reassociation).
+    A wrong psum denominator or a dropped shard fails this at 12%+, not
+    1e-5."""
+    import jax.numpy as jnp
+
+    from bundlesdf_tpu.nof.losses import nof_loss
+    from bundlesdf_tpu.nof.render import render_rays
+    from bundlesdf_tpu.parallel import (grads_on_batch_dp, make_ray_mesh,
+                                        shard_batch)
+
+    r, _ = _make_runner(dp_devices=0)
+    n = 256
+    assert r.n_rays_valid >= n
+    batch = jax.tree.map(lambda a: a[:n], r.rays)
+    key = jax.random.PRNGKey(7)
+    trunc = jnp.asarray(r.tcfg.trunc)
+
+    def loss_fn(p):
+        out = render_rays(p, r.spec, r.rcfg, batch, r.c2w_array, r.occ_grid,
+                          key, perturb=False, trunc=trunc)
+        return nof_loss(out, batch, p, trunc, r.lcfg)[0]
+
+    g_sd = jax.grad(loss_fn)(r.params)
+
+    mesh = make_ray_mesh(jax.devices()[:8])
+    batch_sh = shard_batch(batch, mesh)
+    g_dp = grads_on_batch_dp(r.params, batch_sh, r.c2w_array, r.occ_grid,
+                             key, trunc, mesh, r.spec, r.rcfg, r.lcfg)
+
+    flat_sd, _ = jax.tree_util.tree_flatten(g_sd)
+    flat_dp, tree_dp = jax.tree_util.tree_flatten(g_dp)
+    assert len(flat_sd) == len(flat_dp)
+    for a, b in zip(flat_sd, flat_dp):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-5, atol=1e-6 * max(1.0, float(np.abs(a).max())))
+
+
 def test_dp_matches_single_device_quality():
+    # same seed, same scene; RNG streams differ per device so losses are
+    # not bitwise — but with gradient EQUALITY pinned above, the training
+    # trajectories must land near-equal, both ways (was a one-way 3x bound)
     r_dp, _ = _make_runner(dp_devices=8, seed=1)
     r_sd, _ = _make_runner(dp_devices=0, seed=1)
     m_dp = r_dp.train(n_steps=40)
     m_sd = r_sd.train(n_steps=40)
-    # different RNG streams -> not bitwise; final loss must be in the same
-    # regime (both converging on the same tiny scene)
     f_dp = float(np.asarray(m_dp["loss"])[-5:].mean())
     f_sd = float(np.asarray(m_sd["loss"])[-5:].mean())
-    assert f_dp < 3.0 * f_sd + 1e-3, (f_dp, f_sd)
+    assert f_dp < 1.35 * f_sd + 1e-3, (f_dp, f_sd)
+    assert f_sd < 1.35 * f_dp + 1e-3, (f_dp, f_sd)
 
 
 def test_dp_survives_add_new_frames():
