@@ -156,6 +156,9 @@ def default_nerf_config() -> dict:
         "i_weights": 999999,
         "i_mesh": 999999,
         "i_pose": 999999,
+        # experiment scalar/artifact sink dir (sacred-equivalent seam,
+        # ref nerf_runner.py:569-576); "" = disabled
+        "experiment_log": "",
         "save_octree_clouds": False,
         "finest_res": 128,
         "base_res": 16,

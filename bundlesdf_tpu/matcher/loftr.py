@@ -360,7 +360,9 @@ def loftr_forward(params, img0, img1, cfg: LoftrConfig = LoftrConfig(),
     j_best = jnp.argmax(conf, axis=1)
     row_conf = jnp.where(ok[jnp.arange(L), j_best],
                          conf[jnp.arange(L), j_best], 0.0)
-    K = cfg.max_matches
+    # K is static per (H,W) compile; small images can have fewer coarse
+    # cells than max_matches (full-dims config on a 64x64 crop)
+    K = min(cfg.max_matches, L)
     top_conf, i_ids = jax.lax.top_k(row_conf, K)
     j_ids = j_best[i_ids]
     valid = top_conf > 0.0

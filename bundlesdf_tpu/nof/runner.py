@@ -96,8 +96,16 @@ class NofRunner:
     """
 
     def __init__(self, cfg, images, depths, masks, normal_maps, poses, K,
-                 occ_masks=None, build_octree_pts=None, seed=0):
+                 occ_masks=None, build_octree_pts=None, seed=0,
+                 exp_logger=None):
         self.cfg = cfg
+        # experiment scalar/artifact sink (ref attaches a sacred _run,
+        # nerf_runner.py:569-576,820-822); cfg 'experiment_log: <dir>'
+        # enables the JSONL default, or inject any ExperimentLogger
+        if exp_logger is None:
+            from bundlesdf_tpu.utils.explog import make_experiment_logger
+            exp_logger = make_experiment_logger(cfg)
+        self.exp_logger = exp_logger
         self.images = np.asarray(images)
         self.depths = np.asarray(depths)
         self.masks = np.asarray(masks)
@@ -577,17 +585,22 @@ class NofRunner:
                      for k, v in metrics.items()}
             logging.info(f"Iter {self.global_step}: " + ", ".join(
                 f"{k}: {v:.5f}" for k, v in sorted(means.items())))
+            self.exp_logger.log_scalars(means, self.global_step)
             self._check_run_budget()
         if self._crossed(prev_step, cfg.get("i_weights", 0)) and save_dir:
-            self.save_weights(os.path.join(save_dir, "model_latest.npz"))
+            ckpt = os.path.join(save_dir, "model_latest.npz")
+            self.save_weights(ckpt)
+            self.exp_logger.add_artifact(ckpt)
         if self._crossed(prev_step, cfg.get("i_img", 0)) and save_dir:
             self._save_debug_render(save_dir)
         if self._crossed(prev_step, cfg.get("i_mesh", 0)) and save_dir:
             mesh = self.extract_mesh()
             if mesh is not None:
-                mesh.export(os.path.join(
+                mesh_path = os.path.join(
                     save_dir,
-                    f"step_{self.global_step:07d}_mesh_normalized_space.obj"))
+                    f"step_{self.global_step:07d}_mesh_normalized_space.obj")
+                mesh.export(mesh_path)
+                self.exp_logger.add_artifact(mesh_path)
         if self._crossed(prev_step, cfg.get("i_pose", 0)) and save_dir:
             poses, _ = self.get_optimized_poses_in_real_world()
             np.savetxt(os.path.join(

@@ -131,3 +131,39 @@ def test_segmenter_bg_subtraction(tmp_path):
     seg2 = Segmenter({})
     out2 = seg2.run(str(mask_file), depth=depth, K=K)
     assert (out2 > 0).all()
+
+
+def test_experiment_logger(tmp_path):
+    """cfg experiment_log enables the sacred-equivalent JSONL sink
+    (ref nerf_runner.py:569-576,820-822): per-step scalars at the i_print
+    cadence + ckpt artifacts at i_weights."""
+    import json
+    import os
+
+    seq = cube_orbit_sequence(n_frames=2, H=48, W=64)
+    sc = 0.9 / 0.6
+    cfg = default_nerf_config()
+    cfg.update(dict(
+        sc_factor=sc, translation=[0.0, 0.0, 0.0], n_step=10, N_rand=128,
+        N_samples=8, N_samples_around_depth=8, num_levels=2, finest_res=32,
+        base_res=8, log2_hashmap_size=12, n_trace_steps=32,
+        octree_smallest_voxel_size=2.0 / 32 / sc,
+        octree_dilate_size=2.0 / 32 / sc,
+        experiment_log=str(tmp_path / "run0"), i_print=5, i_weights=10,
+        save_dir=str(tmp_path / "save")))
+    poses_gl = seq["cam_in_obs"] @ GLCAM_IN_CVCAM
+    rgbs, depths, masks, normals, poses = preprocess_frame_data(
+        seq["colors"].copy(), seq["depths"].copy(), seq["masks"].copy(),
+        None, poses_gl.copy(), sc, np.zeros(3))
+    r = NofRunner(cfg, rgbs, depths, masks, normals, poses, seq["K"])
+    r.train(n_steps=10)
+
+    with open(tmp_path / "run0" / "scalars.jsonl") as f:
+        scalars = [json.loads(l) for l in f]
+    names = {s["name"] for s in scalars}
+    assert "loss" in names and "rgb_loss" in names
+    assert all(np.isfinite(s["value"]) for s in scalars)
+    with open(tmp_path / "run0" / "artifacts.jsonl") as f:
+        arts = [json.loads(l) for l in f]
+    assert any(a["name"] == "model_latest.npz" and os.path.exists(a["path"])
+               for a in arts)
