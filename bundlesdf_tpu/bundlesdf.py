@@ -86,6 +86,18 @@ class BundleSdf:
             self.gui = BundleSdfGui(
                 out_dir=os.path.join(self.debug_dir, "gui"))
 
+        # cross-frame pipelining: frame k's BA pull + admission + artifact
+        # writes are deferred until frame k+1's preprocess/detect have been
+        # issued, overlapping the BA device time (dominant, docs/PERF.md)
+        # and its tunnel pull with host work. Frame state (pose, status,
+        # keyframe admission, saved artifacts) is FINAL once the next
+        # run() call starts processing, or after flush_pipeline()/
+        # on_finish(). Disable with cfg_track["async_pipeline"]=False for
+        # strictly synchronous per-frame semantics.
+        self.async_pipeline = bool(self.cfg_track.get("async_pipeline",
+                                                      True))
+        self._deferred = None  # (frame, color, mask, occ_mask, pending_ba)
+
         # NOF side state (replaces the run_nerf child, bundlesdf.py:64-260)
         self.nerf: NofRunner | None = None
         self.kf_to_nerf_list: list[dict] = []
@@ -282,12 +294,23 @@ class BundleSdf:
             b.forget_frame(frame)
             return
 
-        b.optimize(b.local_frames)
+        pending = b.optimize_dispatch(b.local_frames)
+        if frame.status == FrameStatus.FAIL:  # zero global corres
+            b.forget_frame(frame)
+            return None
+        if self.async_pipeline and pending is not None:
+            # BA pull + jump rejection + keyframe admission deferred to
+            # the next run() call (or flush_pipeline) — the device solves
+            # while the host moves on
+            return pending
+        if pending is not None:
+            b.optimize_finish(pending)
         if frame.status == FrameStatus.FAIL:
             b.forget_frame(frame)
-            return
+            return None
 
         b.check_and_add_keyframe(frame)
+        return None
 
     # ------------------------------------------------------------------
     # main entry (ref run bundlesdf.py:510-632)
@@ -330,8 +353,43 @@ class BundleSdf:
 
         frame = self.make_frame(color, depth, K, id_str, mask, occ_mask,
                                 pose_in_model)
-        self.process_new_frame(frame)
+        # host-side feature detection runs NOW so it overlaps the previous
+        # frame's in-flight BA on device (skipped when denoise_cloud may
+        # still shrink the mask — detection must see the final mask)
+        if (hasattr(self.matcher, "_frame_feats")
+                and not self.cfg_track["depth_processing"].get(
+                    "denoise_cloud", False)
+                and int((frame.fg_mask > 0).sum()) >= 100):
+            self.matcher._frame_feats(frame)
+        self.flush_pipeline()
+        pending = self.process_new_frame(frame)
+        if pending is not None:
+            self._deferred = (frame, np.asarray(color), mask, occ_mask,
+                              pending)
+        else:
+            self._finalize_frame(frame, color, mask, occ_mask)
+        return frame
 
+    def flush_pipeline(self):
+        """Finish the previous frame's deferred BA: pull optimized poses,
+        apply jump rejection + keyframe admission, feed the NOF batch,
+        write artifacts. Called automatically at the start of the next
+        run() and from on_finish()."""
+        if self._deferred is None:
+            return
+        frame, color, mask, occ_mask, pending = self._deferred
+        self._deferred = None
+        b = self.bundler
+        b.optimize_finish(pending)
+        if frame.status == FrameStatus.FAIL:
+            b.forget_frame(frame)
+        else:
+            b.check_and_add_keyframe(frame)
+        self._finalize_frame(frame, color, mask, occ_mask)
+
+    def _finalize_frame(self, frame, color, mask, occ_mask):
+        """Post-BA per-frame tail: NOF keyframe feed + sync, artifact
+        writes, GUI feed (ref bundlesdf.py:546-632)."""
         if self.bundler.keyframes and self.bundler.keyframes[-1] is frame:
             self.kf_to_nerf_list.append({
                 "rgb": np.asarray(color).copy(),
@@ -369,9 +427,8 @@ class BundleSdf:
             self.gui.update_frame(
                 rgb=np.asarray(color), mask=mask,
                 ob_in_cam=np.linalg.inv(frame.pose_in_model),
-                id_str=id_str, K=self.K,
+                id_str=frame.id_str, K=self.K,
                 n_keyframe=len(self.bundler.keyframes))
-        return frame
 
     # ------------------------------------------------------------------
     # NOF batch (ref run_nerf bundlesdf.py:64-260, continual branch)
@@ -541,7 +598,8 @@ class BundleSdf:
 
     # ------------------------------------------------------------------
     def on_finish(self):
-        """Final NOF flush (ref on_finish bundlesdf.py:324-338)."""
+        """Final pipeline + NOF flush (ref on_finish bundlesdf.py:324-338)."""
+        self.flush_pipeline()
         self._finish_nerf_batch()
         if self.kf_to_nerf_list and (self.cnt_nerf >= 0 or
                                      len(self.kf_to_nerf_list) >=

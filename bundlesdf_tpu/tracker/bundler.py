@@ -809,6 +809,19 @@ class Bundler:
     # GN bundle adjustment driver (ref optimizeGPU Bundler.cpp:810-956)
     # ------------------------------------------------------------------
     def optimize(self, frames):
+        pending = self.optimize_dispatch(frames)
+        if pending is not None:
+            self.optimize_finish(pending)
+
+    def optimize_dispatch(self, frames):
+        """Dispatch the BA program WITHOUT pulling results. Returns a
+        pending handle for `optimize_finish`, or None if the frame FAILed
+        before dispatch (zero global corres). Splitting dispatch from
+        finish lets the orchestrator overlap the BA device time (the
+        dominant device cost, docs/PERF.md) and its host pull with the
+        NEXT frame's preprocessing + feature detection — the reference
+        gets the same overlap from its tracker/NOF process split while
+        each CUDA kernel runs async under the host loop."""
         bcfg = self.cfg["bundle"]
         idx_of = {f.id: k for k, f in enumerate(frames)}
 
@@ -901,7 +914,6 @@ class Bundler:
             kf_window_idx[k] = idx_of.get(kf.id, -1)
         nf_idx = idx_of[self.new_frame.id]
         thres_cos = float(np.cos(np.deg2rad(self.cfg["visible_angle"])))
-        covis_h = None
         # coarse-to-fine scale loop (ref LossGPU.cpp:79-131): the sparse
         # feature-match term runs only at the FIRST scale; later scales
         # refine with the dense p2p term alone (m_localWeightsSparse
@@ -914,6 +926,9 @@ class Bundler:
                 dense_dist_thres=self.cfg["p2p"]["max_dist"],
                 dense_normal_thres_deg=self.cfg["p2p"]["max_normal_angle"],
                 assoc_radius=int(bcfg["depth_association_radius"]),
+                reassoc_iters=int(bcfg.get("reassoc_iters", 1)),
+                assoc_stride_first=int(bcfg.get("assoc_stride_first", 2)),
+                early_out_delta=float(bcfg.get("early_out_delta", 1e-4)),
                 robust_delta=bcfg["robust_delta"],
                 w_sparse=bcfg["w_fm"] if it == 0 else 0.0,
                 w_dense=bcfg["w_p2p"])
@@ -965,17 +980,26 @@ class Bundler:
                 jnp.asarray(src_idx), jnp.asarray(src_valid), factor, cfg_ba,
                 pair_valid=jnp.asarray(pair_valid), pre_decim=pd,
                 **admission)
-            if last:
-                poses, covis_h = jax.device_get(out)
-            else:
+            if not last:  # intermediate scales feed the next scale's assoc
                 poses = np.asarray(out)
-        self._covis_post_ba = (self.new_frame.id,
+        return {"out": out, "frames": list(frames), "idx_of": idx_of,
+                "kfs": list(kfs), "new_frame": self.new_frame}
+
+    def optimize_finish(self, pending):
+        """Pull the BA results dispatched by `optimize_dispatch` and apply
+        them: admission-covis cache, abnormal-pose-jump rejection
+        (ref Bundler.cpp:927-946), pose writes."""
+        frames = pending["frames"]
+        idx_of = pending["idx_of"]
+        kfs = pending["kfs"]
+        poses, covis_h = jax.device_get(pending["out"])
+        self._covis_post_ba = (pending["new_frame"].id,
                                {kf.id: float(covis_h[k])
                                 for k, kf in enumerate(kfs)})
 
         # abnormal-pose-change rejection vs temporal neighbor
         # (ref Bundler.cpp:927-946)
-        nf = self.new_frame
+        nf = pending["new_frame"]
         if nf.ref_frame_id == nf.id - 1 and nf.ref_frame_id in self.frames:
             ref = self.frames[nf.ref_frame_id]
             k_new = idx_of[nf.id]

@@ -31,6 +31,7 @@ def tracked(tmp_path_factory):
     for i in range(8):
         tracker.run(seq["colors"][i], seq["depths"][i].copy(), seq["K"],
                     seq["id_strs"][i], mask=seq["masks"][i])
+    tracker.flush_pipeline()  # last frame's BA/artifacts are deferred
     return tracker, seq, tmp
 
 
