@@ -80,6 +80,75 @@ def _trace_device_ms_from_dir(d: str, n_steps: int):
     return total / 1e3 / n_steps
 
 
+# v5e hardware ceilings (public: jax-ml.github.io/scaling-book and TPU v5e
+# datasheet): HBM ~819 GB/s, bf16 MXU ~197 TFLOP/s, f32 ~49 TFLOP/s.
+HBM_GBPS = 819.0
+# measured per-op costs on THIS chip (docs/PERF.md "Primitive costs"):
+# XLA gather ~12 ns/row (row-descriptor bound), BA patch dynamic-slice
+# ~125 ns/slice (near-flat in slice bytes)
+GATHER_NS_PER_ROW = 12.0
+SLICE_NS = 125.0
+
+
+def nof_roofline(runner, device_ms):
+    """Analytic lower-bound step time for the NOF train step from the
+    executed gather/scatter row counts and HBM traffic, vs the measured
+    device time. Rows are what the kernels actually execute (run budgets
+    including sentinel slots), each charged at the measured gather
+    ns/row; scatters are charged the same rate (the sorted-tiles engine
+    measured FASTER per row, so the bound is conservative). Returns a
+    dict for the bench record."""
+    spec = runner.spec.grid
+    R = runner.tcfg.n_rand
+    S = spec.ray_samples
+    rows = 0
+    traffic = 0.0  # bytes
+    for lvl, (res, dense, n_rows, off) in enumerate(spec.layout()):
+        if dense:
+            k = spec.run_budget(lvl)
+            r = R * k                      # dedup: one packed row per run
+            wb = 8 * spec.level_dim * (2 if spec.table_bf16 else 4)
+        else:
+            r = R * S * 8                  # 8 hashed corners per sample
+            wb = spec.level_dim * 4
+        rows += 2 * r                      # fwd gather + bwd scatter
+        traffic += 2 * r * wb * 2          # row read + output write
+    # occupancy DDA trace: ~trace_res byte-lookups per ray
+    rows += R * max(spec.finest_res // 2, 1)
+    # optimizer reads/writes the whole table (p,m,v + grad) every step
+    traffic += 7 * spec.total_rows * spec.level_dim * 4
+    row_bound_ms = rows * GATHER_NS_PER_ROW * 1e-6
+    bw_bound_ms = traffic / (HBM_GBPS * 1e9) * 1e3
+    bound = "gather-row-count" if row_bound_ms >= bw_bound_ms else "hbm-bw"
+    util = {
+        "rows_per_step": int(rows),
+        "row_bound_ms": round(row_bound_ms, 2),
+        "hbm_gbps_achieved": round(traffic / (device_ms * 1e-3) / 1e9, 1),
+        "hbm_frac": round(traffic / (device_ms * 1e-3) / 1e9 / HBM_GBPS, 3),
+        "bound": bound,
+        "bound_frac": round(max(row_bound_ms, bw_bound_ms) / device_ms, 2),
+    }
+    return util
+
+
+def tracking_roofline(tracker, device_ms):
+    """BA-association slice bound for the steady tracking frame: the
+    dominant device cost is P_live x D windowed-association dynamic
+    slices (~125 ns each, docs/PERF.md round 3), plus the fused matcher's
+    hamming matmul (MXU-bound, negligible)."""
+    stats = getattr(tracker.bundler, "_last_ba_stats", None)
+    if not stats or "D" not in stats:
+        return None
+    slices = stats["P"] * stats["D"]
+    slice_bound_ms = slices * SLICE_NS * 1e-6
+    return {
+        "ba_pairs": stats["P"], "ba_dense_pts": stats["D"],
+        "ba_slice_bound_ms": round(slice_bound_ms, 2),
+        "bound": "assoc-slice-count",
+        "bound_frac": round(slice_bound_ms / device_ms, 2),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -142,9 +211,14 @@ def main():
     }
     if dev_ms is not None:
         rec["device_ms_per_step"] = round(dev_ms, 2)
+        try:
+            rec["util"] = nof_roofline(runner, dev_ms)
+        except Exception:
+            pass
     print(json.dumps(rec), flush=True)
 
     bench_tracking()
+    bench_pipeline()
 
 
 def bench_tracking(n_frames=70, warmup=40):
@@ -196,6 +270,7 @@ def bench_tracking(n_frames=70, warmup=40):
     steady = np.asarray(times[-max(n_frames - warmup, 10):])
     fps = 1.0 / np.median(steady)
 
+    tracker.flush_pipeline()
     rec = {
         "metric": "tracking_fps",
         "value": round(float(fps), 2),
@@ -205,6 +280,51 @@ def bench_tracking(n_frames=70, warmup=40):
     }
     if dev_ms is not None:
         rec["device_ms_per_frame"] = round(dev_ms, 2)
+        # the wall FPS through the dev tunnel is RTT-bound (docs/PERF.md):
+        # the chip-side number is the primary hardware claim
+        rec["device_fps"] = round(1000.0 / dev_ms, 2)
+        util = tracking_roofline(tracker, dev_ms)
+        if util is not None:
+            rec["util"] = util
+    print(json.dumps(rec), flush=True)
+
+
+def bench_pipeline(n_frames=70, warmup=40):
+    """Steady-state FPS of the ONLINE pipeline with NOF training
+    concurrently — the reference's actual operating point (readme.md:8
+    'near real-time' is claimed WITH the nerf process training;
+    bundlesdf.py:571-599). Reference online NOF settings: batches of 500
+    steps, sync_max_delay gating."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic import cube_orbit_sequence
+    from bundlesdf_tpu.bundlesdf import BundleSdf
+    from bundlesdf_tpu.config import default_nerf_config, default_track_config
+
+    seq = cube_orbit_sequence(n_frames=n_frames, H=480, W=640, radius=0.45,
+                              obj_size=0.10, full_angle=1.2)
+    cfg = default_track_config()
+    cfg["SPDLOG"] = 0
+    cfg["debug_dir"] = "/tmp/bench_pipeline"
+    tracker = BundleSdf(cfg_track=cfg, cfg_nerf=default_nerf_config(),
+                        start_nerf_keyframes=5)
+    times = []
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        tracker.run(seq["colors"][i], seq["depths"][i].copy(), seq["K"],
+                    seq["id_strs"][i], mask=seq["masks"][i])
+        times.append(time.perf_counter() - t0)
+    tracker.on_finish()
+    steady = np.asarray(times[-max(n_frames - warmup, 10):])
+    fps = 1.0 / np.median(steady)
+    rec = {
+        "metric": "pipeline_fps",
+        "value": round(float(fps), 2),
+        "unit": "frames/s (tracking WITH concurrent NOF training, "
+                "steady-state median)",
+        "vs_baseline": round(float(fps) / 10.0, 2),
+        "nof_batches_trained": tracker.cnt_nerf + 1,
+    }
     print(json.dumps(rec), flush=True)
 
 

@@ -897,6 +897,9 @@ class Bundler:
             pair_ij[:len(live_pairs)] = np.asarray(live_pairs, np.int32)
 
         self._save_ba_poses(frames, "before")
+        # shapes of the dispatched BA problem (read by bench.py's roofline
+        # model: association cost = live_pairs x D dynamic slices)
+        self._last_ba_stats = {"P": len(live_pairs), "N": N, "C": C}
         poses = np.stack([f.pose_in_model for f in frames]
                          + [np.eye(4)] * (N_pad - N)).astype(np.float32)
 
@@ -947,6 +950,7 @@ class Bundler:
             while D < min(max(map(len, flats)), cap):
                 D *= 2
             D = min(D, cap)
+            self._last_ba_stats["D"] = D
             src_idx = np.zeros((N_pad, D), np.int32)
             src_valid = np.zeros((N_pad, D), bool)
             for k, flat in enumerate(flats):
