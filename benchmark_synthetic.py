@@ -27,6 +27,7 @@ import time
 import cv2
 import imageio.v2 as imageio
 import numpy as np
+import yaml
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
 from synthetic import cube_orbit_sequence  # noqa: E402
@@ -146,6 +147,11 @@ def main():
     ap.add_argument("--report", default="")
     ap.add_argument("--skip_run", action="store_true",
                     help="evaluate existing artifacts only")
+    ap.add_argument("--skip_refine", action="store_true",
+                    help="online tracking only (pose-metric A/B runs)")
+    ap.add_argument("--track_override", action="append", default=[],
+                    help="tracker-config delta 'dotted.key=value', e.g. "
+                         "bundle.reassoc_iters=7 (repeatable; A/B harness)")
     args = ap.parse_args()
 
     from bundlesdf_tpu.utils.common import set_logging_format
@@ -164,9 +170,15 @@ def main():
                                   N_samples_around_depth=64,
                                   n_train_image=60, mesh_resolution=0.004))
         online = {"n_step": args.online_steps} if args.online_steps else None
+        track_ov = {}
+        for item in args.track_override:
+            key, _, val = item.partition("=")
+            track_ov[key] = yaml.safe_load(val)
         run_one_video(video_dir, out_folder, stride=args.stride,
                       debug_level=1, refine_overrides=overrides,
-                      online_overrides=online)
+                      online_overrides=online,
+                      track_overrides=track_ov or None,
+                      skip_refine=args.skip_refine)
     wall = time.perf_counter() - t0
 
     gt_poses = np.linalg.inv(seq["cam_in_obs"])[::args.stride]
@@ -223,7 +235,8 @@ def main():
         row = (f"| synth {args.W}x{args.H}x{args.n_frames} "
                f"noise={args.noise * 1000:.0f}mm | {metrics['ADD(cm)']:.2f} | "
                f"{metrics['ADDS(cm)']:.2f} | {metrics['ADD_AUC(%)']:.1f} | "
-               f"{metrics['ADDS_AUC(%)']:.1f} | {metrics['chamfer(cm)']:.2f} | "
+               f"{metrics['ADDS_AUC(%)']:.1f} | "
+               f"{metrics.get('chamfer(cm)', float('nan')):.2f} | "
                f"{metrics['wall_s']:.0f} |\n")
         exists = os.path.exists(args.report)
         with open(args.report, "a") as f:

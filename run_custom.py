@@ -70,13 +70,24 @@ def make_configs(out_folder, debug_level=2):
 
 def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
                   stride=1, debug_level=2, refine_overrides=None,
-                  online_overrides=None):
+                  online_overrides=None, track_overrides=None,
+                  skip_refine=False):
     """@online_overrides: optional deltas on the ONLINE nerf config (e.g.
     n_step to bound per-keyframe NOF wall in benchmark harnesses; the
-    reference exposes the same knob as config.yml:2)."""
+    reference exposes the same knob as config.yml:2).
+    @track_overrides: {dotted.key: value} deltas on the tracker config
+    (A/B harness knob, e.g. {"bundle.reassoc_iters": 7}).
+    @skip_refine: stop after online tracking (pose-metric A/B runs don't
+    need the offline refine)."""
     set_seed(0)
     os.makedirs(out_folder, exist_ok=True)
     cfg_track, cfg_nerf = make_configs(out_folder, debug_level)
+    for key, val in (track_overrides or {}).items():
+        node = cfg_track
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = val
     # dump the PRE-override config: run_one_video_global_nerf reloads
     # config_nerf.yml as the refine base, so benchmark-only online knobs
     # (e.g. n_step) must not leak into the offline refine settings
@@ -118,6 +129,8 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
         tracker.run(color, depth, reader.K.copy(), reader.id_strs[i],
                     mask=mask, occ_mask=occ_mask, pose_in_model=np.eye(4))
     tracker.on_finish()
+    if skip_refine:
+        return
     run_one_video_global_nerf(out_folder=out_folder, video_dir=video_dir,
                               refine_overrides=refine_overrides)
 
@@ -138,7 +151,15 @@ def run_one_video_global_nerf(out_folder, video_dir=None,
         n_step=2000, N_samples=64, N_samples_around_depth=256,
         first_frame_weight=1, down_scale_ratio=1, finest_res=256,
         num_levels=16, mesh_resolution=0.002, n_train_image=500, fs_sdf=0.1,
-        frame_features=2, rgb_weight=100))
+        frame_features=2, rgb_weight=100,
+        # TPU deviation from the reference refine config (which keeps
+        # log2_hashmap_size 22, run_custom.py:121-128): T=2^24 makes every
+        # level except the finest collision-FREE dense (res<=254), so they
+        # use the run-dedup gather + sorted-tiles scatter engines instead
+        # of the 8-rows-per-sample hashed path — the hashed levels'
+        # scatter dominated the offline step (docs/PERF.md). Memory for
+        # speed; quality can only improve (fewer collisions)
+        log2_hashmap_size=24))
     if refine_overrides:
         cfg_nerf.update(refine_overrides)
     cfg_nerf["datadir"] = f"{out_folder}/nerf_with_bundletrack_online"

@@ -110,7 +110,10 @@ def run_one_video_global_nerf(video_dir, out_dir):
                            default_nerf_config())
     cfg_nerf.update(dict(n_step=2000, N_samples=128, down_scale_ratio=1,
                          finest_res=512, num_levels=16,
-                         mesh_resolution=0.003))
+                         mesh_resolution=0.003,
+                         # dense (collision-free) tables for all levels up
+                         # to res 254 — see run_custom.py refine note
+                         log2_hashmap_size=24))
     cfg_nerf["datadir"] = f"{out_folder}/nerf_with_bundletrack_online"
     cfg_nerf["save_dir"] = copy.deepcopy(cfg_nerf["datadir"])
     tracker = BundleSdf(cfg_track=cfg_track, cfg_nerf=cfg_nerf,
