@@ -248,14 +248,29 @@ class BundleSdf:
             return
 
         min_match_with_ref = cfg["feature_corres"]["min_match_with_ref"]
+        # arm the ref-match fusion: device procrustes + window-selection
+        # covisibility ride the ref-match dispatch whenever the selection
+        # will need covisibility scores (one fewer dispatch+pull/frame)
+        b._covis_seed = None
+        max_ba = cfg["bundle"]["max_BA_frames"]
+        sel_method = cfg["bundle"].get("subset_selection_method",
+                                       "normal_orientation_nearest")
+        if (len(b.keyframes) + 1 > max_ba
+                and sel_method == "normal_orientation_nearest"
+                and getattr(b, "_defer_covis_gate", False)):
+            b._sel_ctx = {
+                "kfs": list(b.keyframes),
+                "extra_pairs": b._unscored_kf_pairs(list(b.keyframes))}
         self.find_corres([(frame, ref_frame)])
         if frame.status == FrameStatus.FAIL:
             b.forget_frame(frame)
             return
+        rres = getattr(b, "_ref_match_result", None)
 
         # re-localize against the keyframe pool by covisibility if the ref
         # match failed (ref bundlesdf.py:443-471)
         if b.n_matches(frame, ref_frame) < min_match_with_ref:
+            rres = None  # fused offset/covis were for the failed ref pose
             visibles = b.covisibility_many(frame, b.keyframes)
             found = False
             for idx in np.argsort(visibles)[::-1]:
@@ -275,7 +290,18 @@ class BundleSdf:
                 b.forget_frame(frame)
                 return
 
-        offset = b.procrustes(frame, ref_frame)
+        if rres is not None and rres["pair"] == (frame.id, ref_frame.id):
+            # device procrustes from the fused ref-match dispatch; its
+            # guards (count, degeneracy, neighbor residual) collapsed the
+            # offset to identity whenever the host logic would have
+            offset = rres["offset"]
+            if not rres["use"]:
+                logging.info(
+                    f"procrustes {frame.id_str}-{ref_frame.id_str}: device "
+                    f"guards rejected pose (err={rres['err']:.5f}), identity")
+            b._covis_seed = rres["covis"]
+        else:
+            offset = b.procrustes(frame, ref_frame)
         frame.pose_in_model = offset @ frame.pose_in_model
 
         # window eviction (ref bundlesdf.py:479-487)

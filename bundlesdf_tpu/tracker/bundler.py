@@ -309,6 +309,48 @@ class Bundler:
                 valids_h=pool.valids_h,
                 covis_thres_cos=float(
                     np.cos(np.deg2rad(self.cfg["visible_angle"]))))
+        # ref-match fusion: device procrustes + window-selection
+        # covisibility ride this dispatch (set by the orchestrator for the
+        # (new_frame, ref) call when the BA window selection will need
+        # covisibility scores — saves one dispatch+pull per steady frame)
+        sel_ctx = getattr(self, "_sel_ctx", None)
+        self._sel_ctx = None
+        self._ref_match_result = None
+        sel_args = {}
+        if sel_ctx is not None and len(live) == 1:
+            kfs = sel_ctx["kfs"]
+            extras = sel_ctx["extra_pairs"]
+            KF = -(-max(len(kfs), 1) // 8) * 8
+            kf_slots = np.zeros(KF, np.int32)
+            kf_poses = np.tile(np.eye(4, dtype=np.float32), (KF, 1, 1))
+            for k2, kf in enumerate(kfs):
+                kf_slots[k2] = self._slot(kf)
+                kf_poses[k2] = kf.pose_in_model.astype(np.float32)
+            fA0, fB0 = frame_pairs[live[0]]
+            gates = np.array([
+                self.cfg["feature_corres"]["min_match_with_ref"],
+                cfg["min_match_after_ransac"],
+                k_pull if k_pull else M,
+                1.0 if fA0.id - fB0.id == 1 else 0.0], np.float32)
+            sel_args = dict(
+                sel_kf_slots=jnp.asarray(kf_slots),
+                sel_kf_poses=jnp.asarray(kf_poses),
+                proc_gates=jnp.asarray(gates),
+                xyzs_h=pool.xyzs_h, nrms_h=pool.nrms_h,
+                valids_h=pool.valids_h,
+                covis_thres_cos=float(
+                    np.cos(np.deg2rad(self.cfg["visible_angle"]))))
+            if extras:
+                E = -(-len(extras) // 8) * 8
+                ex_slots = np.zeros(E, np.int32)
+                ex_Ts = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+                for k2, (exA, exB) in enumerate(extras):
+                    ex_slots[k2] = self._slot(exA)
+                    ex_Ts[k2] = (np.linalg.inv(exB.pose_in_model)
+                                 @ exA.pose_in_model).astype(np.float32)
+                sel_args.update(sel_extra_slots=jnp.asarray(ex_slots),
+                                sel_extra_Ts=jnp.asarray(ex_Ts))
+            gate_args = {**gate_args, **sel_args}
         res = jax.device_get(orb_lift_ransac_slots(
             pool.xyzs, pool.nrms, tuple(colA), tuple(colB), tuple(uvcA),
             tuple(uvcB), jnp.asarray(nA), jnp.asarray(nB),
@@ -322,6 +364,20 @@ class Bundler:
             min_strict=int(getattr(matcher, "min_strict", 0)),
             m_cap=min(M, F), n_trials=int(cfg["max_iter"]),
             k_pull=k_pull, **gate_args))
+
+        if sel_args:
+            fA0, fB0 = frame_pairs[live[0]]
+            covis_cache = {(fA0.id, kf.id): float(res["covis_kf"][k2])
+                           for k2, kf in enumerate(sel_ctx["kfs"])}
+            for k2, (exA, exB) in enumerate(sel_ctx["extra_pairs"]):
+                covis_cache[(exA.id, exB.id)] = float(res["covis_extra"][k2])
+            self._ref_match_result = {
+                "pair": (fA0.id, fB0.id),
+                "offset": np.asarray(res["proc_offset"], np.float64),
+                "use": bool(res["proc_use"]),
+                "err": float(res["proc_err"]),
+                "covis": covis_cache,
+            }
 
         min_vis = self.cfg["bundle"]["non_neighbor_min_visible"]
         fields = ("uvA", "uvB", "pA_cam", "pB_cam", "nA_cam", "nB_cam",
@@ -496,6 +552,22 @@ class Bundler:
         reg = self._map_points.get(fA.id, {})
         return sum(1 for mpt in reg.values() if fB.id in mpt)
 
+    def _unscored_kf_pairs(self, pool):
+        """Keyframe-keyframe pairs with no match entry yet (the candidates
+        get_feature_match_pairs' covisibility gate could ask about)."""
+        extra = []
+        for a in range(len(pool)):
+            for b2 in range(a + 1, len(pool)):
+                fA, fB = pool[b2], pool[a]
+                if fA.id < fB.id:
+                    fA, fB = fB, fA
+                if (fA.id, fB.id) in self.matches:
+                    continue
+                if np.allclose(fA.pose_in_model, np.eye(4)):
+                    continue
+                extra.append((fA, fB))
+        return extra
+
     def select_keyframes_for_ba(self):
         max_ba = self.cfg["bundle"]["max_BA_frames"]
         # covis values computed here are valid until the next pose change
@@ -521,20 +593,25 @@ class Bundler:
             # whatever window gets selected, get_feature_match_pairs' gate
             # can only ask about (kfA, kfB) pairs with no match entry yet,
             # so scoring them here makes the gate fully dispatch-free.
+            # Values already computed INSIDE the ref-match dispatch (the
+            # _sel_ctx fusion) arrive via _covis_seed — the steady frame
+            # then needs NO covisibility dispatch at all.
             frames = {nf}
-            extra = []
-            for a in range(len(pool)):
-                for b2 in range(a + 1, len(pool)):
-                    fA, fB = pool[b2], pool[a]
-                    if fA.id < fB.id:
-                        fA, fB = fB, fA
-                    if (fA.id, fB.id) in self.matches:
-                        continue
-                    if np.allclose(fA.pose_in_model, np.eye(4)):
-                        continue
-                    extra.append((fA, fB))
-            scores_all = self.covisibility_pairs(
-                [(nf, kf) for kf in pool] + extra)
+            extra = self._unscored_kf_pairs(pool)
+            items = [(nf, kf) for kf in pool] + extra
+            seed = getattr(self, "_covis_seed", None) or {}
+            scores_all = np.empty(len(items), np.float32)
+            unknown, unknown_at = [], []
+            for idx, (sA, sB) in enumerate(items):
+                v = seed.get((sA.id, sB.id))
+                if v is None:
+                    unknown.append((sA, sB))
+                    unknown_at.append(idx)
+                else:
+                    scores_all[idx] = v
+            if unknown:
+                scores_all[np.asarray(unknown_at)] = \
+                    self.covisibility_pairs(unknown)
             scores = scores_all[:len(pool)]
             self._covis_pre_ba = {(nf.id, kf.id): float(v)
                                   for kf, v in zip(pool, scores)}

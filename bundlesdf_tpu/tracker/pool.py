@@ -189,6 +189,79 @@ def _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid, conf,
             "n_inliers": out["n_inliers"]}
 
 
+def _weighted_mid_eig_ok(pts, w, wsum):
+    """Degeneracy gate on an inlier cloud (mirrors the host procrustes
+    guard, bundler.py: second principal direction must carry spread).
+    Middle eigenvalue of the weighted covariance via two deflated power
+    iterations (eigh is a host custom-call on this stack)."""
+    mu = jnp.sum(pts * w[:, None], axis=0) / wsum
+    X = (pts - mu) * jnp.sqrt(w)[:, None]
+    C = X.T @ X / wsum                     # (3,3) weighted covariance
+
+    def power(A):
+        v = jnp.array([1.0, 0.2, 0.3], A.dtype)
+
+        def it(_, v):
+            v = A @ v
+            return v / (jnp.linalg.norm(v) + 1e-20)
+
+        v = jax.lax.fori_loop(0, 40, it, v)
+        return v @ A @ v, v
+
+    l1, v1 = power(C)
+    l2, _ = power(C - l1 * jnp.outer(v1, v1))
+    return l2 >= jnp.maximum(1e-12, 1e-5 * l1)
+
+
+def _procrustes_and_covis(out, TA, TB, slots_a, xyzs_h, nrms_h, valids_h,
+                          covis_thres_cos, sel_kf_poses, sel_kf_slots,
+                          sel_extra_slots, sel_extra_Ts, proc_gates):
+    """Device procrustes for pair 0 (the (new_frame, ref) match) plus the
+    window-selection covisibility at the post-procrustes pose — riding the
+    ref-match dispatch (ref: procrustesByCorrespondence
+    FeatureManager.cpp:1050-1129 then selectKeyFramesForBA covisibility
+    Bundler.cpp:501-526, which the host ran as a separate dispatch+pull).
+
+    @proc_gates: (min_match_with_ref, min_match_after_ransac, kept_cap,
+    is_neighbor) f32 scalars. The offset collapses to identity under the
+    same conditions the host logic would not apply it (too few kept
+    matches -> FAIL/re-localization; degenerate inlier cloud; neighbor
+    residual guard), so the covisibility is evaluated at exactly the pose
+    the host will adopt on the steady path."""
+    from bundlesdf_tpu.utils.se3 import kabsch
+
+    min_ref, min_after, kept_cap, is_nb = proc_gates
+    w = (out["inlier_mask"][0] & out["ok"][0]).astype(jnp.float32)
+    n_in = jnp.sum(w)
+    TA0, TB0 = TA[0], TB[0]
+    src = out["pA_cam"][0] @ TA0[:3, :3].T + TA0[:3, 3]
+    dst = out["pB_cam"][0] @ TB0[:3, :3].T + TB0[:3, 3]
+    T_off = kabsch(src, dst, weights=w)
+    wsum = n_in + 1e-9
+    # residual guard (host: ||src@R.T+t - dst||_F / n > 1e-3 between
+    # temporal neighbors rejects the pose)
+    diff = src @ T_off[:3, :3].T + T_off[:3, 3] - dst
+    err = jnp.sqrt(jnp.sum(w * jnp.sum(diff * diff, -1))) / wsum
+    use = ((jnp.minimum(n_in, kept_cap) >= min_ref)
+           & (n_in >= jnp.maximum(min_after, 5.0))
+           & _weighted_mid_eig_ok(src, w, wsum)
+           & _weighted_mid_eig_ok(dst, w, wsum)
+           & ~((is_nb > 0) & (err > 1e-3)))
+    T_off = jnp.where(use, T_off, jnp.eye(4, dtype=T_off.dtype))
+    new_pose = T_off @ TA0
+    Ts_kf = jnp.linalg.inv(sel_kf_poses) @ new_pose  # nf cam -> kf cam
+    src_slots = jnp.full(sel_kf_slots.shape, slots_a[0])
+    covis_kf = covis_core(xyzs_h, nrms_h, valids_h, src_slots, Ts_kf,
+                          covis_thres_cos)
+    res = {"proc_offset": T_off, "proc_use": use, "proc_err": err,
+           "covis_kf": covis_kf}
+    if sel_extra_slots is not None:
+        res["covis_extra"] = covis_core(xyzs_h, nrms_h, valids_h,
+                                        sel_extra_slots, sel_extra_Ts,
+                                        covis_thres_cos)
+    return res
+
+
 @functools.partial(jax.jit, static_argnames=("ratio", "nbits", "m_cap",
                                              "n_trials", "k_pull",
                                              "ratio_loose", "min_strict"))
@@ -198,7 +271,10 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
                           nbits: int, m_cap: int, n_trials: int = 2000,
                           k_pull: int = 0, xyzs_h=None, nrms_h=None,
                           valids_h=None, covis_thres_cos=None,
-                          ratio_loose: float = 0.0, min_strict: int = 0):
+                          ratio_loose: float = 0.0, min_strict: int = 0,
+                          sel_kf_slots=None, sel_kf_poses=None,
+                          sel_extra_slots=None, sel_extra_Ts=None,
+                          proc_gates=None):
     """The WHOLE find_corres device path as one program: batched MXU ORB
     matching (mutual ratio test) -> top-`m_cap` match selection by
     confidence -> correspondence lifting from the pool -> 3D gating ->
@@ -240,12 +316,21 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
     out = _lift_ransac_core(xyzs, nrms, slots_a, slots_b, uvA, uvB, valid,
                             conf, TA, TB, cap_t, cap_r, seed, inlier_dist,
                             cos_normal_angle, n_trials)
+    # ref-match extras: device procrustes + selection covisibility at the
+    # post-procrustes pose, one fewer dispatch+pull per steady frame
+    sel = None
+    if sel_kf_slots is not None:
+        sel = _procrustes_and_covis(out, TA, TB, slots_a, xyzs_h, nrms_h,
+                                    valids_h, covis_thres_cos,
+                                    sel_kf_poses, sel_kf_slots,
+                                    sel_extra_slots, sel_extra_Ts,
+                                    proc_gates)
     # per-pair covisibility riding the same program (the non-neighbor
     # match-pair gate, ref getFeatureMatchPairs — a separate dispatch
     # whenever the window-selection cache misses): source = frame A,
     # T = inv(poseB) @ poseA, evaluated on the half-res pyramid
     covis = None
-    if xyzs_h is not None:
+    if xyzs_h is not None and sel_kf_slots is None:
         Ts = jnp.linalg.inv(TB) @ TA
         covis = covis_core(xyzs_h, nrms_h, valids_h, slots_a, Ts,
                            covis_thres_cos)
@@ -253,6 +338,8 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
         out.update(uvA=uvA, uvB=uvB, conf=conf, n_raw=n_raw)
         if covis is not None:
             out["covis"] = covis
+        if sel is not None:
+            out.update(sel)
         return out
     score = jnp.where(out["inlier_mask"], conf, 0.0)
     sc, order = jax.lax.top_k(score, min(k_pull, conf.shape[1]))
@@ -272,6 +359,8 @@ def orb_lift_ransac_slots(xyzs, nrms, bitsA, bitsB, uvfA, uvfB, nA, nB,
            "n_inliers": out["n_inliers"], "n_raw": n_raw}
     if covis is not None:
         res["covis"] = covis
+    if sel is not None:
+        res.update(sel)
     return res
 
 
