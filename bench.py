@@ -306,7 +306,16 @@ def bench_pipeline(n_frames=70, warmup=40):
     cfg = default_track_config()
     cfg["SPDLOG"] = 0
     cfg["debug_dir"] = "/tmp/bench_pipeline"
-    tracker = BundleSdf(cfg_track=cfg, cfg_nerf=default_nerf_config(),
+    cfg_nerf = default_nerf_config()
+    # overlap operating point: the reference DEFAULT is sync_max_delay=0
+    # (strict sync — the tracker fully stalls for every 500-step NOF
+    # batch, ~50 s on its GPU; the flagship benchmark runs measure that
+    # end to end). Here the tracker runs up to 4 keyframes ahead while
+    # the batch trains — the combined-throughput claim — with short scan
+    # chunks so tracker dispatches don't queue behind ~1 s NOF scans.
+    cfg_nerf["sync_max_delay"] = 4
+    cfg_nerf["scan_chunk"] = 10
+    tracker = BundleSdf(cfg_track=cfg, cfg_nerf=cfg_nerf,
                         start_nerf_keyframes=5)
     times = []
     for i in range(n_frames):
@@ -315,15 +324,18 @@ def bench_pipeline(n_frames=70, warmup=40):
                     seq["id_strs"][i], mask=seq["masks"][i])
         times.append(time.perf_counter() - t0)
     tracker.on_finish()
+    # MEAN over the steady tail (includes NOF-batch back-pressure stalls;
+    # a median would hide them)
     steady = np.asarray(times[-max(n_frames - warmup, 10):])
-    fps = 1.0 / np.median(steady)
+    fps = 1.0 / float(steady.mean())
     rec = {
         "metric": "pipeline_fps",
         "value": round(float(fps), 2),
-        "unit": "frames/s (tracking WITH concurrent NOF training, "
-                "steady-state median)",
+        "unit": "frames/s (tracking WITH concurrent 500-step NOF batches, "
+                "sync_max_delay=4, steady-state mean incl. sync stalls)",
         "vs_baseline": round(float(fps) / 10.0, 2),
         "nof_batches_trained": tracker.cnt_nerf + 1,
+        "median_fps": round(1.0 / float(np.median(steady)), 2),
     }
     print(json.dumps(rec), flush=True)
 

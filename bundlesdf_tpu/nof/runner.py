@@ -469,6 +469,14 @@ class NofRunner:
 
     @property
     def scan_chunk(self) -> int:
+        # config override (scan_chunk): the online tracker||NOF overlap
+        # wants SHORT chunks — tracker dispatches enqueue behind in-flight
+        # NOF scans on the single device stream, so a 50-step chunk adds
+        # up to ~1 s of stall per tracker sync (the reference's two-process
+        # GPU timeshares at kernel granularity instead)
+        o = int(self.cfg.get("scan_chunk", 0) or 0)
+        if o > 0:
+            return o
         return self.SCAN_CHUNK_BIG if self.rcfg.remat else self.SCAN_CHUNK
 
     def train(self, n_steps=None):
