@@ -18,6 +18,7 @@ from __future__ import annotations
 import copy
 import logging
 import os
+import time
 
 import cv2
 import jax
@@ -694,7 +695,19 @@ class BundleSdf:
             np.asarray(self.translation))
         self.nerf = NofRunner(cfg, rgbs_p, depths_p, masks_p, normals_p,
                               poses_p, self.K, build_octree_pts=pcd_norm)
-        self.nerf.train()
+        # warm one chunk so the refine rate below excludes the XLA compile
+        t_w = time.perf_counter()
+        self.nerf.train(n_steps=self.nerf.scan_chunk)
+        n_rest = max(int(cfg["n_step"]) - self.nerf.scan_chunk, 0)
+        t0 = time.perf_counter()
+        self.nerf.train(n_steps=n_rest)
+        dt = time.perf_counter() - t0
+        logging.info(
+            f"global refine: {n_rest} steps in {dt:.1f}s = "
+            f"{n_rest / max(dt, 1e-9):.2f} steps/s "
+            f"({dt / max(n_rest, 1) * 1e3:.0f} ms/step, "
+            f"compile+first chunk {t0 - t_w:.1f}s, "
+            f"{cfg['num_levels']} levels, T=2^{cfg['log2_hashmap_size']})")
 
         mesh = self.nerf.extract_mesh(voxel_size=cfg["mesh_resolution"])
         out_dir = out_dir or os.path.join(dd, "nerf_with_bundletrack_online")

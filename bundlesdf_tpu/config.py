@@ -75,6 +75,12 @@ def default_track_config() -> dict:
             # schedule A/B-validated on the occluder protocol (docs/PERF.md)
             "reassoc_iters": 1,
             "assoc_stride_first": 2,
+            # refine-pass association: "window" (reference radius-2 NN
+            # search) or "projective" (single-tap, KinectFusion-style) —
+            # the windowed pass costs P*D*~125ns of slice descriptors
+            # (the BA's TPU roofline) where projective is a ~12ns/row
+            # gather; A/B'd on the occluder protocol (docs/PERF.md r4)
+            "assoc_refine_mode": "window",
             # GN convergence early-out: stop outer iterations once the max
             # per-frame update norm falls below this (the reference ships
             # the same check behind ENABLE_EARLY_OUT, threshold 5e-3,

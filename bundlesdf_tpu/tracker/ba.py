@@ -54,6 +54,16 @@ class BAConfig:
     # unchanged between 1 and 2); set to n_outer to recover the exact
     # reference schedule.
     reassoc_iters: int = 1
+    # refine-pass association mode: "window" = (2r+1)-window NN search via
+    # per-point dynamic slices (the reference's scheme at every iteration,
+    # SolverBundlingDenseUtil.h:126-184); "projective" = single-tap
+    # projective data association (KinectFusion-style). After the first
+    # wide pass the poses are within the /4-grid pixel quantum, so the
+    # refine window rarely picks a different pixel than straight
+    # projection — and the slice-descriptor cost (P*D*~125ns per pass) is
+    # the BA's roofline on TPU, while a projective gather is ~12 ns/row
+    # (round-4 trace: each windowed pass ~23 ms of the ~45 ms BA).
+    assoc_refine_mode: str = "window"
     # stop outer GN iterations once the max per-frame update norm drops
     # below this (the reference carries the same convergence early-out
     # behind ENABLE_EARLY_OUT, EvalGNConvergence < 5e-3,
@@ -196,6 +206,56 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
     return jax.lax.stop_gradient(out)
 
 
+def _projective_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
+                          cfg: BAConfig):
+    """Single-tap projective data association: project each src point into
+    the tgt frame and take THAT pixel (no window search). Same dist/normal
+    gates and Huber weighting as `_dense_associate`. One gather row per
+    (pair, point) — ~12 ns/row vs ~125 ns/slice for the windowed search,
+    which is the BA's TPU roofline; used for refine passes where the pose
+    delta since the previous association is below the pixel quantum."""
+    N, h, w, _ = xyz.shape
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    cosn = jnp.cos(jnp.deg2rad(cfg.dense_normal_thres_deg))
+    packed = jnp.concatenate([xyz, nrm], axis=-1).reshape(N, h * w, 6)
+
+    src_p_all = jnp.take_along_axis(xyz.reshape(N, -1, 3),
+                                    src_idx[..., None], axis=1)  # (N,D,3)
+    src_n_all = jnp.take_along_axis(nrm.reshape(N, -1, 3),
+                                    src_idx[..., None], axis=1)
+
+    def per_pair(ij):
+        i, j = ij[0], ij[1]
+        T = jnp.linalg.inv(poses[i]) @ poses[j]
+        src_p = src_p_all[j]
+        src_n = src_n_all[j]
+        src_ok = src_valid[j] & (src_p[:, 2] > cfg.dense_depth_min) \
+            & (src_p[:, 2] < cfg.dense_depth_max) \
+            & (jnp.abs(src_n[:, 0]) > 0)
+        p_tgt = src_p @ T[:3, :3].T + T[:3, 3]
+        n_tgt_of_src = src_n @ T[:3, :3].T
+        u = jnp.round(p_tgt[:, 0] / jnp.maximum(p_tgt[:, 2], 1e-6) * fx + cx)
+        v = jnp.round(p_tgt[:, 1] / jnp.maximum(p_tgt[:, 2], 1e-6) * fy + cy)
+        in_img = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+        row = jnp.take(packed[i], vi * w + ui, axis=0)    # (D,6)
+        best_p, best_n = row[:, :3], row[:, 3:]
+        dist = jnp.linalg.norm(best_p - p_tgt, axis=-1)
+        dot = jnp.sum(best_n * n_tgt_of_src, axis=-1)
+        found = (best_p[:, 2] > 0.1) & (dist <= cfg.dense_dist_thres) \
+            & (dot >= cosn) & in_img & src_ok
+        res0 = jnp.sum((best_p - p_tgt) * best_n, axis=-1)
+        absr = jnp.abs(res0)
+        hub = jnp.where(absr <= cfg.robust_delta, 1.0,
+                        cfg.robust_delta / jnp.maximum(absr, 1e-12))
+        return {"src_p": src_p, "tgt_p": best_p, "tgt_n": best_n,
+                "found": found, "huber": hub}
+
+    out = jax.vmap(per_pair)(pair_ij)
+    return jax.lax.stop_gradient(out)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                   corr_i, corr_j, corr_pi, corr_pj, corr_valid,
@@ -273,13 +333,17 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
                                stride=max(1, cfg.assoc_stride_first))
 
+    def refine_assoc(p):
+        if cfg.assoc_refine_mode == "projective":
+            return _projective_associate(p, xyz_down, nrm_down, K_down,
+                                         pair_ij, src_idx, src_valid, cfg)
+        return _dense_associate(p, xyz_down, nrm_down, K_down, pair_ij,
+                                src_idx, src_valid, cfg,
+                                cfg.assoc_radius_refine)
+
     def reassoc(it, poses, assoc):
-        return jax.lax.cond(
-            it < cfg.reassoc_iters,
-            lambda p: _dense_associate(p, xyz_down, nrm_down, K_down,
-                                       pair_ij, src_idx, src_valid, cfg,
-                                       cfg.assoc_radius_refine),
-            lambda p: assoc, poses)
+        return jax.lax.cond(it < cfg.reassoc_iters, refine_assoc,
+                            lambda p: assoc, poses)
 
     if cfg.early_out_delta > 0:
         # data-dependent trip count: stop refining once the GN update is

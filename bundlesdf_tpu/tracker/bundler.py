@@ -1008,6 +1008,8 @@ class Bundler:
                 assoc_radius=int(bcfg["depth_association_radius"]),
                 reassoc_iters=int(bcfg.get("reassoc_iters", 1)),
                 assoc_stride_first=int(bcfg.get("assoc_stride_first", 2)),
+                assoc_refine_mode=str(bcfg.get("assoc_refine_mode",
+                                               "window")),
                 early_out_delta=float(bcfg.get("early_out_delta", 1e-4)),
                 robust_delta=bcfg["robust_delta"],
                 w_sparse=bcfg["w_fm"] if it == 0 else 0.0,
