@@ -81,6 +81,15 @@ def default_track_config() -> dict:
             # (the BA's TPU roofline) where projective is a ~12ns/row
             # gather; A/B'd on the occluder protocol (docs/PERF.md r4)
             "assoc_refine_mode": "window",
+            # entry-pass association: "window" (reference wide radius-5
+            # strided search — absorbs bad pose inits) or "projective";
+            # the entry pass is the largest single op of the steady frame
+            "assoc_entry_mode": "window",
+            # association scoring layout (ba.py): "point" keeps the
+            # gathered patches in their native (D,taps) layout; "lane"
+            # transposes to (taps,D) for full 128-lane VPU rows at the
+            # cost of a measured 9.6 ms relayout copy per BA call
+            "assoc_layout": "point",
             # GN convergence early-out: stop outer iterations once the max
             # per-frame update norm falls below this (the reference ships
             # the same check behind ENABLE_EARLY_OUT, threshold 5e-3,

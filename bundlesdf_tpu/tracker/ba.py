@@ -64,6 +64,22 @@ class BAConfig:
     # the BA's roofline on TPU, while a projective gather is ~12 ns/row
     # (round-4 trace: each windowed pass ~23 ms of the ~45 ms BA).
     assoc_refine_mode: str = "window"
+    # entry-pass association mode: "window" = the reference's wide
+    # radius-5 search (strided); "projective" = single-tap. The entry
+    # windowed pass is the single biggest op of the steady tracking frame
+    # (27.3 ms of the ~45 ms BA, round-4 trace), but it is also the pass
+    # that absorbs bad pose initializations — only safe to relax when the
+    # per-frame procrustes init is reliable; A/B'd on the occluder
+    # protocol before any default change.
+    assoc_entry_mode: str = "window"
+    # windowed-association scoring layout: "lane" transposes the gathered
+    # (D,taps,6) patches to (taps,6,D) so D rides the 128-lane axis
+    # (round-3 choice); "point" scores in the native (D,taps) layout —
+    # taps=66 underfills the lanes, but the round-4 trace showed the
+    # lane-major transpose materializing as a 9.6 ms copy per BA call
+    # (~20% of the whole program) while the scoring math itself is <1 ms
+    # at either utilization.
+    assoc_layout: str = "point"
     # stop outer GN iterations once the max per-frame update norm drops
     # below this (the reference carries the same convergence early-out
     # behind ENABLE_EARLY_OUT, EvalGNConvergence < 5e-3,
@@ -172,27 +188,47 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
 
             block = jax.vmap(patch)(v0, u0)            # (D,W,W,6)
             block = block[:, sel_dy]                   # (D,ndy,W,6)
-        # lane-major: (taps, 6, D)
-        B = jnp.transpose(block.reshape(D, n_taps, 6), (1, 2, 0))
-        tpx, tpy, tpz = B[:, 0], B[:, 1], B[:, 2]      # (taps, D)
-        tnx, tny, tnz = B[:, 3], B[:, 4], B[:, 5]
-        pT = p_tgt.T                                   # (3, D)
-        nS = n_tgt_of_src.T
-        ddx = tpx - pT[0][None]
-        ddy = tpy - pT[1][None]
-        ddz = tpz - pT[2][None]
-        dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-        dot = tnx * nS[0][None] + tny * nS[1][None] + tnz * nS[2][None]
-        ok = (tpz > 0.1) & (dist <= cfg.dense_dist_thres) & (dot >= cosn) \
-            & in_img[None, :]
-        score = jnp.where(ok, (1.0 - dot) + dist / cfg.dense_dist_thres,
-                          jnp.inf)                     # (taps, D)
-        best_s = jnp.min(score, axis=0)
-        k = jnp.argmin(score, axis=0)                  # (D,)
-        sel = jnp.arange(n_taps)[:, None] == k[None, :]
-        pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0)
-        best_p = jnp.stack([pick(tpx), pick(tpy), pick(tpz)], axis=1)
-        best_n = jnp.stack([pick(tnx), pick(tny), pick(tnz)], axis=1)
+        if cfg.assoc_layout == "point":
+            # native (D, taps, 6) layout — no relayout copy; taps on the
+            # lane axis underfills (66/128) but the math is sub-ms either
+            # way while the lane-major transpose cost 9.6 ms/call
+            Bp = block.reshape(D, n_taps, 6)
+            tp = Bp[..., :3]                           # (D, taps, 3)
+            tn = Bp[..., 3:]
+            dd = tp - p_tgt[:, None, :]
+            dist = jnp.linalg.norm(dd, axis=-1)        # (D, taps)
+            dot = jnp.sum(tn * n_tgt_of_src[:, None, :], axis=-1)
+            ok = (tp[..., 2] > 0.1) & (dist <= cfg.dense_dist_thres) \
+                & (dot >= cosn) & in_img[:, None]
+            score = jnp.where(ok, (1.0 - dot) + dist / cfg.dense_dist_thres,
+                              jnp.inf)                 # (D, taps)
+            best_s = jnp.min(score, axis=1)
+            k = jnp.argmin(score, axis=1)              # (D,)
+            picked = jnp.take_along_axis(Bp, k[:, None, None], axis=1)[:, 0]
+            best_p = picked[:, :3]
+            best_n = picked[:, 3:]
+        else:
+            # lane-major: (taps, 6, D)
+            B = jnp.transpose(block.reshape(D, n_taps, 6), (1, 2, 0))
+            tpx, tpy, tpz = B[:, 0], B[:, 1], B[:, 2]  # (taps, D)
+            tnx, tny, tnz = B[:, 3], B[:, 4], B[:, 5]
+            pT = p_tgt.T                               # (3, D)
+            nS = n_tgt_of_src.T
+            ddx = tpx - pT[0][None]
+            ddy = tpy - pT[1][None]
+            ddz = tpz - pT[2][None]
+            dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            dot = tnx * nS[0][None] + tny * nS[1][None] + tnz * nS[2][None]
+            ok = (tpz > 0.1) & (dist <= cfg.dense_dist_thres) \
+                & (dot >= cosn) & in_img[None, :]
+            score = jnp.where(ok, (1.0 - dot) + dist / cfg.dense_dist_thres,
+                              jnp.inf)                 # (taps, D)
+            best_s = jnp.min(score, axis=0)
+            k = jnp.argmin(score, axis=0)              # (D,)
+            sel = jnp.arange(n_taps)[:, None] == k[None, :]
+            pick = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0)
+            best_p = jnp.stack([pick(tpx), pick(tpy), pick(tpz)], axis=1)
+            best_n = jnp.stack([pick(tnx), pick(tny), pick(tnz)], axis=1)
         found = jnp.isfinite(best_s) & src_ok
         # huber weight at the association linearization point
         res0 = jnp.sum((best_p - p_tgt) * best_n, axis=-1)
@@ -330,8 +366,15 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     # association FREEZES in the loop carry and the remaining GN
     # iterations reuse it. One loop body (assoc shapes are radius-
     # independent) keeps the compile small.
-    poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
-                               stride=max(1, cfg.assoc_stride_first))
+    if cfg.assoc_entry_mode == "projective":
+        entry_assoc = _projective_associate(poses0, xyz_down, nrm_down,
+                                            K_down, pair_ij, src_idx,
+                                            src_valid, cfg)
+        poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
+                                   assoc=entry_assoc)
+    else:
+        poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
+                                   stride=max(1, cfg.assoc_stride_first))
 
     def refine_assoc(p):
         if cfg.assoc_refine_mode == "projective":
