@@ -73,13 +73,14 @@ class BAConfig:
     # protocol before any default change.
     assoc_entry_mode: str = "window"
     # windowed-association scoring layout: "lane" transposes the gathered
-    # (D,taps,6) patches to (taps,6,D) so D rides the 128-lane axis
-    # (round-3 choice); "point" scores in the native (D,taps) layout —
-    # taps=66 underfills the lanes, but the round-4 trace showed the
-    # lane-major transpose materializing as a 9.6 ms copy per BA call
-    # (~20% of the whole program) while the scoring math itself is <1 ms
-    # at either utilization.
-    assoc_layout: str = "point"
+    # (D,taps,6) patches to (taps,6,D) so D rides the 128-lane axis;
+    # "point" scores in the native (D,taps,6) layout; "lane_fused" asks
+    # vmap to emit the gather lane-major (out_axes=-1). Measured on-chip
+    # at the steady shapes (P=45, D=4096): entry pass lane 39.0 ms,
+    # point 87.6 ms, lane_fused 40.7 ms — the relayout copy is far
+    # cheaper than scoring with only 6 elements on the 128-lane axis,
+    # so lane-major stays the default.
+    assoc_layout: str = "lane"
     # stop outer GN iterations once the max per-frame update norm drops
     # below this (the reference carries the same convergence early-out
     # behind ENABLE_EARLY_OUT, EvalGNConvergence < 5e-3,
@@ -171,6 +172,10 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
         in_img = (u >= -r) & (u < w + r) & (v >= -r) & (v < h + r)
         D = src_p.shape[0]
 
+        # "lane_fused" asks vmap to emit the gathered patches lane-major
+        # directly (out_axes=-1 -> (ndy,W,6,D)): XLA folds the relayout
+        # into the gather's output instead of a separate transpose copy
+        out_ax = -1 if cfg.assoc_layout == "lane_fused" else 0
         if par2:
             tgt = packed_par[i]                        # (2,h/2,w,6)
 
@@ -179,19 +184,20 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
                 return jax.lax.dynamic_slice(
                     tgt, (vv & 1, vv >> 1, uu, 0), (1, ndy, W, 6))[0]
 
-            block = jax.vmap(patch)(v0, u0)            # (D,ndy,W,6)
+            block = jax.vmap(patch, out_axes=out_ax)(v0, u0)
         else:
             tgt = packed[i]                            # (h,w,6)
 
             def patch(vv, uu):
-                return jax.lax.dynamic_slice(tgt, (vv, uu, 0), (W, W, 6))
+                return jax.lax.dynamic_slice(
+                    tgt, (vv, uu, 0), (W, W, 6))[sel_dy]
 
-            block = jax.vmap(patch)(v0, u0)            # (D,W,W,6)
-            block = block[:, sel_dy]                   # (D,ndy,W,6)
+            block = jax.vmap(patch, out_axes=out_ax)(v0, u0)
         if cfg.assoc_layout == "point":
-            # native (D, taps, 6) layout — no relayout copy; taps on the
-            # lane axis underfills (66/128) but the math is sub-ms either
-            # way while the lane-major transpose cost 9.6 ms/call
+            # native (D, taps, 6) layout — no relayout copy, but the
+            # minor dim 6 leaves 122 of 128 lanes idle: measured 2.2x
+            # SLOWER than lane-major at the steady shapes (87.6 vs
+            # 39.0 ms entry pass); kept only as an A/B arm
             Bp = block.reshape(D, n_taps, 6)
             tp = Bp[..., :3]                           # (D, taps, 3)
             tn = Bp[..., 3:]
@@ -209,7 +215,10 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
             best_n = picked[:, 3:]
         else:
             # lane-major: (taps, 6, D)
-            B = jnp.transpose(block.reshape(D, n_taps, 6), (1, 2, 0))
+            if cfg.assoc_layout == "lane_fused":
+                B = block.reshape(n_taps, 6, D)        # already lane-major
+            else:
+                B = jnp.transpose(block.reshape(D, n_taps, 6), (1, 2, 0))
             tpx, tpy, tpz = B[:, 0], B[:, 1], B[:, 2]  # (taps, D)
             tnx, tny, tnz = B[:, 3], B[:, 4], B[:, 5]
             pT = p_tgt.T                               # (3, D)

@@ -1010,7 +1010,7 @@ class Bundler:
                 assoc_stride_first=int(bcfg.get("assoc_stride_first", 2)),
                 assoc_refine_mode=str(bcfg.get("assoc_refine_mode",
                                                "window")),
-                assoc_layout=str(bcfg.get("assoc_layout", "point")),
+                assoc_layout=str(bcfg.get("assoc_layout", "lane")),
                 assoc_entry_mode=str(bcfg.get("assoc_entry_mode",
                                               "window")),
                 early_out_delta=float(bcfg.get("early_out_delta", 1e-4)),
