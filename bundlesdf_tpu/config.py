@@ -90,6 +90,11 @@ def default_track_config() -> dict:
             # measured 2.2x faster than the native "point" layout despite
             # the relayout copy (39.0 vs 87.6 ms entry pass on-chip)
             "assoc_layout": "lane",
+            # association scoring precision (ba.py): "bf16" halves the
+            # candidate-window gather bytes and re-fetches the selected
+            # candidate in f32 (exact residuals; only near-tie candidate
+            # SELECTION sees the ~1 mm bf16 position quantum)
+            "assoc_dtype": "f32",
             # GN convergence early-out: stop outer iterations once the max
             # per-frame update norm falls below this (the reference ships
             # the same check behind ENABLE_EARLY_OUT, threshold 5e-3,

@@ -81,6 +81,16 @@ class BAConfig:
     # cheaper than scoring with only 6 elements on the 128-lane axis,
     # so lane-major stays the default.
     assoc_layout: str = "lane"
+    # windowed-association scoring precision: "bf16" gathers and scores
+    # the candidate windows in bfloat16 (halving the dynamic-slice bytes —
+    # measured ~0.1 ns/B marginal slice cost, so bytes are ~half the
+    # entry-pass time) and then re-fetches the SELECTED candidate in f32
+    # with one per-point gather row, recomputing the gates and Huber
+    # weight in f32. Only the argmin SELECTION sees bf16 rounding
+    # (~1-2 mm position quantum at 0.5 m) — near-tie candidates may swap,
+    # the same deviation class as the strided entry window; residuals are
+    # exact for the chosen candidate. "f32" = exact reference scoring.
+    assoc_dtype: str = "f32"
     # stop outer GN iterations once the max per-frame update norm drops
     # below this (the reference carries the same convergence early-out
     # behind ENABLE_EARLY_OUT, EvalGNConvergence < 5e-3,
@@ -135,6 +145,11 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
     r = radius
     W = 2 * r + 1
     packed = jnp.concatenate([xyz, nrm], axis=-1)  # (N,h,w,6)
+    # bf16 mode: gather + score the windows at half the slice bytes, then
+    # re-fetch the selected candidate in f32 (see BAConfig.assoc_dtype)
+    use_bf16 = cfg.assoc_dtype == "bf16"
+    packed_s = packed.astype(jnp.bfloat16) if use_bf16 else packed
+    packed_flat = packed.reshape(N, h * w, 6) if use_bf16 else None
     sel_dy = np.arange(0, W, stride)
     ndy = len(sel_dy)
     n_taps = ndy * W
@@ -143,7 +158,7 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
     # the ndy rows it uses instead of W (the slice is byte-bound at W=11)
     par2 = stride == 2 and h % 2 == 0
     if par2:
-        packed_par = packed.reshape(N, h // 2, 2, w, 6) \
+        packed_par = packed_s.reshape(N, h // 2, 2, w, 6) \
             .transpose(0, 2, 1, 3, 4)              # (N,2,h/2,w,6)
 
     # per-frame src gathers, hoisted out of the pair loop
@@ -186,7 +201,7 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
 
             block = jax.vmap(patch, out_axes=out_ax)(v0, u0)
         else:
-            tgt = packed[i]                            # (h,w,6)
+            tgt = packed_s[i]                          # (h,w,6)
 
             def patch(vv, uu):
                 return jax.lax.dynamic_slice(
@@ -239,6 +254,19 @@ def _dense_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
             best_p = jnp.stack([pick(tpx), pick(tpy), pick(tpz)], axis=1)
             best_n = jnp.stack([pick(tnx), pick(tny), pick(tnz)], axis=1)
         found = jnp.isfinite(best_s) & src_ok
+        if use_bf16:
+            # re-fetch the SELECTED candidate in f32 (one gather row per
+            # point, ~12 ns/row) and recompute the gates exactly — only
+            # the argmin selection saw bf16 storage rounding
+            dy = jnp.take(jnp.asarray(sel_dy, jnp.int32), k // W)
+            dx = k % W
+            rowi = (v0 + dy) * w + (u0 + dx)
+            rowf = jnp.take(packed_flat[i], rowi, axis=0)   # (D,6)
+            best_p, best_n = rowf[:, :3], rowf[:, 3:]
+            dist_f = jnp.linalg.norm(best_p - p_tgt, axis=-1)
+            dot_f = jnp.sum(best_n * n_tgt_of_src, axis=-1)
+            found = found & (best_p[:, 2] > 0.1) \
+                & (dist_f <= cfg.dense_dist_thres) & (dot_f >= cosn)
         # huber weight at the association linearization point
         res0 = jnp.sum((best_p - p_tgt) * best_n, axis=-1)
         absr = jnp.abs(res0)

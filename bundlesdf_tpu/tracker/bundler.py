@@ -1011,6 +1011,7 @@ class Bundler:
                 assoc_refine_mode=str(bcfg.get("assoc_refine_mode",
                                                "window")),
                 assoc_layout=str(bcfg.get("assoc_layout", "lane")),
+                assoc_dtype=str(bcfg.get("assoc_dtype", "f32")),
                 assoc_entry_mode=str(bcfg.get("assoc_entry_mode",
                                               "window")),
                 early_out_delta=float(bcfg.get("early_out_delta", 1e-4)),

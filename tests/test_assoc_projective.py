@@ -75,16 +75,20 @@ def test_projective_matches_window_at_aligned_poses():
     assert np.median(d) < cfg.dense_dist_thres
 
 
-def _run_mode(mode):
+def _run_mode_cfg(bundle_overrides):
     cfg = default_track_config()
     cfg["bundle"]["max_BA_frames"] = 4
-    cfg["bundle"]["assoc_refine_mode"] = mode
     cfg["bundle"]["early_out_delta"] = 0.0
+    cfg["bundle"].update(bundle_overrides)
     cfg["ransac"]["max_trans_neighbor"] = 1.0
     cfg["ransac"]["max_rot_deg_neighbor"] = 180.0
     b, frames = _build(cfg)
     b.optimize(frames)
     return np.stack([f.pose_in_model for f in frames])
+
+
+def _run_mode(mode):
+    return _run_mode_cfg({"assoc_refine_mode": mode})
 
 
 def test_ba_projective_refine_matches_window():
