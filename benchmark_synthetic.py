@@ -149,6 +149,9 @@ def main():
                     help="evaluate existing artifacts only")
     ap.add_argument("--skip_refine", action="store_true",
                     help="online tracking only (pose-metric A/B runs)")
+    ap.add_argument("--no_nerf", action="store_true",
+                    help="disable online NOF — tracker-only isolation for "
+                         "BA-schedule A/B arms (CPU-viable)")
     ap.add_argument("--track_override", action="append", default=[],
                     help="tracker-config delta 'dotted.key=value', e.g. "
                          "bundle.reassoc_iters=7 (repeatable; A/B harness)")
@@ -178,7 +181,8 @@ def main():
                       debug_level=1, refine_overrides=overrides,
                       online_overrides=online,
                       track_overrides=track_ov or None,
-                      skip_refine=args.skip_refine)
+                      skip_refine=args.skip_refine,
+                      start_nerf_keyframes=10 ** 9 if args.no_nerf else 5)
     wall = time.perf_counter() - t0
 
     gt_poses = np.linalg.inv(seq["cam_in_obs"])[::args.stride]
