@@ -152,10 +152,17 @@ def main():
     ap.add_argument("--no_nerf", action="store_true",
                     help="disable online NOF — tracker-only isolation for "
                          "BA-schedule A/B arms (CPU-viable)")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. 'cpu' to keep an A/B "
+                         "arm off the TPU; the axon plugin ignores the "
+                         "JAX_PLATFORMS env var, only the config works)")
     ap.add_argument("--track_override", action="append", default=[],
                     help="tracker-config delta 'dotted.key=value', e.g. "
                          "bundle.reassoc_iters=7 (repeatable; A/B harness)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from bundlesdf_tpu.utils.common import set_logging_format
     set_logging_format()
