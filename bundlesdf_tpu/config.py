@@ -82,8 +82,11 @@ def default_track_config() -> dict:
             # gather; A/B'd on the occluder protocol (docs/PERF.md r4)
             "assoc_refine_mode": "window",
             # entry-pass association: "window" (reference wide radius-5
-            # strided search — absorbs bad pose inits) or "projective";
-            # the entry pass is the largest single op of the steady frame
+            # strided search — absorbs bad pose inits), "projective", or
+            # "hybrid" (windowed only for pairs touching the NEW frame —
+            # the one pose with fresh error — projective for the old-old
+            # pairs the previous BA already converged); the entry pass is
+            # the largest single op of the steady frame
             "assoc_entry_mode": "window",
             # association scoring layout (ba.py): "lane" transposes the
             # gathered patches to (taps,6,D) for full 128-lane VPU rows;

@@ -65,12 +65,18 @@ class BAConfig:
     # (round-4 trace: each windowed pass ~23 ms of the ~45 ms BA).
     assoc_refine_mode: str = "window"
     # entry-pass association mode: "window" = the reference's wide
-    # radius-5 search (strided); "projective" = single-tap. The entry
-    # windowed pass is the single biggest op of the steady tracking frame
-    # (27.3 ms of the ~45 ms BA, round-4 trace), but it is also the pass
-    # that absorbs bad pose initializations — only safe to relax when the
-    # per-frame procrustes init is reliable; A/B'd on the occluder
-    # protocol before any default change.
+    # radius-5 search (strided); "projective" = single-tap; "hybrid" =
+    # windowed ONLY for the pairs the caller flags as uncertain (via
+    # pair_ij_w/pair_w_dst — the driver flags pairs touching the NEW
+    # frame, whose procrustes init carries the only fresh pose error;
+    # old-old keyframe pairs were jointly converged by the previous BA
+    # call, so their relative motion since is below the /4-grid pixel
+    # quantum where projective == windowed) and single-tap projective for
+    # the rest. The entry windowed pass is the single biggest op of the
+    # steady tracking frame (27.3 ms of the ~45 ms BA, round-4 trace:
+    # P*D=196k dynamic slices at ~139 ns descriptor cost each, bf16
+    # barely moves it) — hybrid keeps the wide search exactly where the
+    # init is uncertain and cuts the slice count by P/P_w.
     assoc_entry_mode: str = "window"
     # windowed-association scoring layout: "lane" transposes the gathered
     # (D,taps,6) patches to (taps,6,D) so D rides the 128-lane axis;
@@ -333,7 +339,8 @@ def _projective_associate(poses, xyz, nrm, K, pair_ij, src_idx, src_valid,
 def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                   corr_i, corr_j, corr_pi, corr_pj, corr_valid,
                   update_flags, src_idx, src_valid,
-                  cfg: BAConfig = BAConfig(), pair_valid=None):
+                  cfg: BAConfig = BAConfig(), pair_valid=None,
+                  pair_ij_w=None, pair_w_dst=None):
     """Jointly refine frame poses.
 
     @poses0: (N,4,4) cam-in-model. @K_down: (3,3) intrinsics of the
@@ -343,6 +350,9 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     indices; @corr_pi/@corr_pj (C,3) points in the respective CAMERA frames;
     @corr_valid (C,). @update_flags: (N,) 1=optimize, 0=pinned.
     @src_idx/@src_valid: (N,D) per-frame valid-point pixel indices.
+    @pair_ij_w/@pair_w_dst (hybrid entry mode only): (Pw,2) pair subset to
+    entry-associate with the wide window, and (Pw,) destination row of each
+    in @pair_ij (>=P for padding — dropped on scatter).
     Returns refined (N,4,4) poses.
     """
     N = poses0.shape[0]
@@ -409,6 +419,22 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                                             src_valid, cfg)
         poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
                                    assoc=entry_assoc)
+    elif cfg.assoc_entry_mode == "hybrid":
+        # projective single-tap for every pair (cheap: one gather row per
+        # point), then OVERWRITE the uncertain pairs' rows with the wide
+        # windowed search — only Pw*D slices instead of P*D
+        entry_assoc = _projective_associate(poses0, xyz_down, nrm_down,
+                                            K_down, pair_ij, src_idx,
+                                            src_valid, cfg)
+        w_assoc = _dense_associate(poses0, xyz_down, nrm_down, K_down,
+                                   pair_ij_w, src_idx, src_valid, cfg,
+                                   cfg.assoc_radius,
+                                   stride=max(1, cfg.assoc_stride_first))
+        entry_assoc = jax.tree.map(
+            lambda a, b: a.at[pair_w_dst].set(b, mode="drop"),
+            entry_assoc, w_assoc)
+        poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
+                                   assoc=entry_assoc)
     else:
         poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
                                    stride=max(1, cfg.assoc_stride_first))
@@ -460,7 +486,8 @@ def bundle_adjust_pooled(pool_xyzs, pool_nrms, slots, slot_live, poses0, K,
                          factor: int, cfg: BAConfig = BAConfig(),
                          pair_valid=None, pool_valids=None, nf_idx=None,
                          kf_slots=None, kf_poses=None, kf_window_idx=None,
-                         covis_thres_cos=None, pre_decim: int = 1):
+                         covis_thres_cos=None, pre_decim: int = 1,
+                         pair_ij_w=None, pair_w_dst=None):
     """bundle_adjust fed straight from the FramePool: the slot gather, the
     padded-slot zeroing, and the /factor downsample run inside the SAME
     program (the round-3 driver paid 4-5 extra dispatches per BA call for
@@ -498,7 +525,8 @@ def bundle_adjust_pooled(pool_xyzs, pool_nrms, slots, slot_live, poses0, K,
     poses = bundle_adjust(poses0, K_d, xyz_d, nrm_d, pair_ij, corr_i,
                           corr_j, corr_pi, corr_pj, corr_valid,
                           update_flags, src_idx, src_valid, cfg,
-                          pair_valid=pair_valid)
+                          pair_valid=pair_valid,
+                          pair_ij_w=pair_ij_w, pair_w_dst=pair_w_dst)
     if nf_idx is None:
         return poses
     assert pre_decim <= 2

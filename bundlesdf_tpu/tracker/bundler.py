@@ -958,9 +958,23 @@ class Bundler:
         # padded slots have zero maps — but each pair still pays the full
         # association gather (BA's dominant cost). Keep only live pairs,
         # padded to a bucket of 8 so the kernel compiles per bucket.
+        # The reference additionally drops pairs whose RELATIVE ROTATION
+        # exceeds icp_pose_rot_thres (geodesic, SolverBundling.cu:48-55 at
+        # the entry poses) — frames viewing the object from opposite sides
+        # share no surface, so their dense term is noise AND each skipped
+        # pair saves a D-point association gather.
+        rot_thres = np.deg2rad(float(bcfg.get("icp_pose_rot_thres", 60)))
+
+        def _rot_ok(i, j):
+            R = frames[i].pose_in_model[:3, :3] \
+                @ frames[j].pose_in_model[:3, :3].T
+            cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+            return np.arccos(cos) < rot_thres
+
         live_pairs = [(i, j) for (i, j) in pair_ij
                       if i < N and j < N
-                      and (update_flags[i] > 0 or update_flags[j] > 0)]
+                      and (update_flags[i] > 0 or update_flags[j] > 0)
+                      and _rot_ok(i, j)]
         # coarse bucket ladder: every distinct bucket is a full BA
         # recompile (~10s through the tunnel), so prefer a few reusable
         # sizes over tight padding
@@ -972,6 +986,23 @@ class Bundler:
         pair_ij = np.zeros((P_b, 2), np.int32)
         if live_pairs:
             pair_ij[:len(live_pairs)] = np.asarray(live_pairs, np.int32)
+
+        # hybrid entry association: the wide windowed search runs only on
+        # the UNCERTAIN pairs — those touching the new frame (its
+        # procrustes init carries the only fresh pose error; the other
+        # window members were jointly converged by the previous BA call,
+        # within the /4-grid pixel quantum where single-tap projective
+        # association picks the same pixel). Pw bucket of 8/16.
+        nf_w = idx_of.get(self.new_frame.id, -1) if self.new_frame else -1
+        nf_rows = [r for r, (i, j) in enumerate(live_pairs)
+                   if nf_w in (i, j)]
+        Pw_b = next(b for b in (8, 16, 32, 64, 1 << 30)
+                    if b >= max(len(nf_rows), 1))
+        pair_ij_w = np.zeros((Pw_b, 2), np.int32)
+        pair_w_dst = np.full(Pw_b, P_b, np.int32)  # pad rows scatter-drop
+        for k, r in enumerate(nf_rows):
+            pair_ij_w[k] = pair_ij[r]
+            pair_w_dst[k] = r
 
         self._save_ba_poses(frames, "before")
         # shapes of the dispatched BA problem (read by bench.py's roofline
@@ -1066,6 +1097,9 @@ class Bundler:
                 jnp.asarray(valid), jnp.asarray(update_flags),
                 jnp.asarray(src_idx), jnp.asarray(src_valid), factor, cfg_ba,
                 pair_valid=jnp.asarray(pair_valid), pre_decim=pd,
+                **({"pair_ij_w": jnp.asarray(pair_ij_w),
+                    "pair_w_dst": jnp.asarray(pair_w_dst)}
+                   if cfg_ba.assoc_entry_mode == "hybrid" else {}),
                 **admission)
             if not last:  # intermediate scales feed the next scale's assoc
                 poses = np.asarray(out)
