@@ -264,23 +264,35 @@ def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits, ratio_loose=None,
             bA.astype(jnp.bfloat16), bB.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (F,F)
-        dist = (nbits - sim) * 0.5
-        F = dist.shape[0]
+        F = sim.shape[0]
         colmask = jnp.arange(F) < nb
         rowmask = jnp.arange(F) < na
-        big = jnp.float32(1e9)
-        d = jnp.where(colmask[None, :], dist, big)
-        d = jnp.where(rowmask[:, None], d, big)
-        # row direction: best + runner-up
+        # the (F,F) distance matrix stays in bf16: hamming distances are
+        # integers <= nbits=256, all EXACTLY representable in bf16 (8-bit
+        # mantissa), so every min/argmin over it is bit-identical to f32
+        # at half the HBM traffic — the top-2 reductions over the 2048^2
+        # matrices are this program's dominant cost (round-4 trace). The
+        # masked sentinel 512 is exact in bf16 and > any real distance.
+        # Only the per-row F-vectors are cast back to f32 so the ratio
+        # products keep exact reference semantics.
+        dist = ((nbits - sim) * 0.5).astype(jnp.bfloat16)
+        big = jnp.bfloat16(512.0)
+        bigf = jnp.float32(512.0)
+        d = jnp.where(colmask[None, :] & rowmask[:, None], dist, big)
+        iota = jnp.arange(F)
+        # row direction: best + runner-up. The runner-up uses a fused
+        # where-mask over the matrix instead of .at[].set (a TPU scatter
+        # would materialize a second (F,F) copy).
         j1 = jnp.argmin(d, axis=1)
-        d1 = jnp.take_along_axis(d, j1[:, None], axis=1)[:, 0]
-        d_wo = d.at[jnp.arange(F), j1].set(big)
-        d2 = jnp.min(d_wo, axis=1)
+        d1 = jnp.min(d, axis=1).astype(jnp.float32)
+        d2 = jnp.min(jnp.where(iota[None, :] == j1[:, None], big, d),
+                     axis=1).astype(jnp.float32)
         # column direction
         i1 = jnp.argmin(d, axis=0)
-        c1 = jnp.take_along_axis(d, i1[None, :], axis=0)[0]
-        d_wo_c = d.at[i1, jnp.arange(F)].set(big)
-        c2 = jnp.min(d_wo_c, axis=0)
+        c1 = jnp.min(d, axis=0).astype(jnp.float32)
+        c2 = jnp.min(jnp.where(iota[:, None] == i1[None, :], big, d),
+                     axis=0).astype(jnp.float32)
+        big = bigf
 
         # with < 2 candidates on either side the runner-up distance is the
         # masked sentinel and the ratio test is vacuous; the host path
