@@ -183,19 +183,26 @@ def tracking_roofline(tracker, device_ms, ba_ms=None):
     stats = getattr(tracker.bundler, "_last_ba_stats", None)
     if not stats or "D" not in stats:
         return None
-    n_passes = 1 + int(
-        tracker.cfg_track["bundle"].get("reassoc_iters", 1))
-    slices = stats["P"] * stats["D"] * n_passes
-    slice_bound_ms = slices * SLICE_NS * 1e-6
+    # round-4 measured anatomy: at steady state the GN while_loop
+    # (refine passes + all outer iterations) is ~2 ms — the ENTRY
+    # association pass is the whole slice bill. In hybrid entry mode
+    # only the Pw new-frame pairs pay windowed slices (~139 ns each,
+    # measured); the other pairs pay ~12 ns/row projective gathers.
+    bcfg = tracker.cfg_track["bundle"]
+    hybrid = bcfg.get("assoc_entry_mode", "window") == "hybrid"
+    p_win = stats.get("Pw", stats["P"]) if hybrid else stats["P"]
+    slices = p_win * stats["D"]
+    slice_bound_ms = slices * SLICE_NS * 1e-6 \
+        + (stats["P"] - p_win) * stats["D"] * GATHER_NS_PER_ROW * 1e-6
     util = {
-        "ba_pairs": stats["P"], "ba_dense_pts": stats["D"],
-        "assoc_passes": n_passes,
+        "ba_pairs": stats["P"], "ba_windowed_pairs": p_win,
+        "ba_dense_pts": stats["D"],
         "ba_slice_bound_ms": round(slice_bound_ms, 2),
         "bound": "assoc-slice-count",
         "bound_frac": round(slice_bound_ms / device_ms, 2),
-        "next_wall": "fewer assoc slices (P*D*passes) — projective "
-                     "refine assoc or smaller dense bucket; kernels are "
-                     "at the slice-descriptor roofline",
+        "next_wall": "entry-pass slice descriptors (Pw*D*~139ns): fewer "
+                     "windowed pairs or a smaller dense bucket; the GN "
+                     "solve itself is ~2 ms",
     }
     if ba_ms is not None:
         util["ba_device_ms"] = round(ba_ms, 2)

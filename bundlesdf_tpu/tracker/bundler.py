@@ -1007,7 +1007,8 @@ class Bundler:
         self._save_ba_poses(frames, "before")
         # shapes of the dispatched BA problem (read by bench.py's roofline
         # model: association cost = live_pairs x D dynamic slices)
-        self._last_ba_stats = {"P": len(live_pairs), "N": N, "C": C}
+        self._last_ba_stats = {"P": len(live_pairs), "N": N, "C": C,
+                               "Pw": len(nf_rows)}
         poses = np.stack([f.pose_in_model for f in frames]
                          + [np.eye(4)] * (N_pad - N)).astype(np.float32)
 

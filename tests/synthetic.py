@@ -63,6 +63,30 @@ def render_boxes_depth(cam_in_world, K, H, W, boxes):
         checker = ((np.floor(fu * 6) + np.floor(fv * 6)) % 2)
         speckle = 0.5 + 0.5 * np.sin(37.0 * fu + 61.0 * fv * fu + 13.0 * fv)
         shade = shade * (0.55 + 0.3 * checker + 0.15 * speckle)
+        # face-unique glyph constellation OVER the (unchanged) base
+        # texture: dark dots at positions unique to each SIGNED face.
+        # The base texture is near-symmetric under 90-deg cube rotations,
+        # which made post-occlusion relocalization after a blind rotation
+        # information-theoretically ambiguous (round 4 measured every
+        # A/B arm recover into the same self-consistent 90-deg flip) —
+        # the occluder benchmark was scoring the fixture, not the
+        # pipeline. Dots are 0.16 half-width in face UV (resolve from
+        # ~200p up; at 90x120 they just add a couple of corners).
+        sgn = np.take_along_axis(rel, face[..., None], axis=-1)[..., 0] < 0
+        face_id = face * 2 + sgn.astype(np.int64)
+        glyph_uv = np.array([   # (6 faces, 2 dots, 2 uv) in [-1,1]
+            [[-0.55, -0.55], [0.55, 0.55]],
+            [[-0.55, 0.55], [0.55, -0.55]],
+            [[0.0, -0.55], [0.0, 0.55]],
+            [[-0.55, 0.0], [0.55, 0.0]],
+            [[-0.55, -0.55], [-0.55, 0.55]],
+            [[0.55, -0.55], [0.55, 0.55]],
+        ])
+        g = glyph_uv[face_id]                     # (H,W,2,2)
+        hit_g = (np.maximum(np.abs(fu[..., None] - g[..., 0]),
+                            np.abs(fv[..., None] - g[..., 1]))
+                 < 0.16).any(axis=-1)
+        shade = np.where(hit_g, shade * 0.25, shade)
         for c in range(3):
             ch = np.clip(col[c] * shade, 0, 255).astype(np.uint8)
             color[..., c] = np.where(upd, ch, color[..., c])
