@@ -79,15 +79,20 @@ def default_track_config() -> dict:
             # search) or "projective" (single-tap, KinectFusion-style) —
             # the windowed pass costs P*D*~125ns of slice descriptors
             # (the BA's TPU roofline) where projective is a ~12ns/row
-            # gather; A/B'd on the occluder protocol (docs/PERF.md r4)
-            "assoc_refine_mode": "window",
+            # gather. Default flipped to projective after the glyph-
+            # fixture occluder A/B (docs/PERF.md r4 batch 2): the fast
+            # stack matches/beats windowed on the stress case
+            # (ADD 0.745 vs 0.913 cm) while removing the slice cost.
+            "assoc_refine_mode": "projective",
             # entry-pass association: "window" (reference wide radius-5
             # strided search — absorbs bad pose inits), "projective", or
             # "hybrid" (windowed only for pairs touching the NEW frame —
             # the one pose with fresh error — projective for the old-old
             # pairs the previous BA already converged); the entry pass is
-            # the largest single op of the steady frame
-            "assoc_entry_mode": "window",
+            # the largest single op of the steady frame. Default = hybrid
+            # after the occluder A/B (PERF.md r4 batch 2: hybrid ADD
+            # 0.749 cm vs window 0.913, post-recovery 0.57 vs 0.83).
+            "assoc_entry_mode": "hybrid",
             # association scoring layout (ba.py): "lane" transposes the
             # gathered patches to (taps,6,D) for full 128-lane VPU rows;
             # measured 2.2x faster than the native "point" layout despite
@@ -96,8 +101,11 @@ def default_track_config() -> dict:
             # association scoring precision (ba.py): "bf16" halves the
             # candidate-window gather bytes and re-fetches the selected
             # candidate in f32 (exact residuals; only near-tie candidate
-            # SELECTION sees the ~1 mm bf16 position quantum)
-            "assoc_dtype": "f32",
+            # SELECTION sees the ~1 mm bf16 position quantum). Default =
+            # bf16: accuracy-neutral on both protocols (occluder A/B
+            # delta < 0.01 cm, PERF.md r4 batch 2) at half the gather
+            # bytes of the BA's dominant op.
+            "assoc_dtype": "bf16",
             # GN convergence early-out: stop outer iterations once the max
             # per-frame update norm falls below this (the reference ships
             # the same check behind ENABLE_EARLY_OUT, threshold 5e-3,

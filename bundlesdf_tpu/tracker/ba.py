@@ -63,7 +63,10 @@ class BAConfig:
     # projection — and the slice-descriptor cost (P*D*~125ns per pass) is
     # the BA's roofline on TPU, while a projective gather is ~12 ns/row
     # (round-4 trace: each windowed pass ~23 ms of the ~45 ms BA).
-    assoc_refine_mode: str = "window"
+    # Default flipped to projective after the glyph-fixture occluder A/B
+    # (docs/PERF.md round-4 batch 2): accuracy-neutral vs windowed refine
+    # on the stress protocol, at ~1/10 the association cost.
+    assoc_refine_mode: str = "projective"
     # entry-pass association mode: "window" = the reference's wide
     # radius-5 search (strided); "projective" = single-tap; "hybrid" =
     # windowed ONLY for the pairs the caller flags as uncertain (via
@@ -76,8 +79,10 @@ class BAConfig:
     # steady tracking frame (27.3 ms of the ~45 ms BA, round-4 trace:
     # P*D=196k dynamic slices at ~139 ns descriptor cost each, bf16
     # barely moves it) — hybrid keeps the wide search exactly where the
-    # init is uncertain and cuts the slice count by P/P_w.
-    assoc_entry_mode: str = "window"
+    # init is uncertain and cuts the slice count by P/P_w. Default =
+    # hybrid: on the occluder stress A/B it BEATS all-window (ADD 0.749
+    # vs 0.913 cm; PERF.md round-4 batch 2) besides being faster.
+    assoc_entry_mode: str = "hybrid"
     # windowed-association scoring layout: "lane" transposes the gathered
     # (D,taps,6) patches to (taps,6,D) so D rides the 128-lane axis;
     # "point" scores in the native (D,taps,6) layout; "lane_fused" asks
@@ -96,7 +101,9 @@ class BAConfig:
     # (~1-2 mm position quantum at 0.5 m) — near-tie candidates may swap,
     # the same deviation class as the strided entry window; residuals are
     # exact for the chosen candidate. "f32" = exact reference scoring.
-    assoc_dtype: str = "f32"
+    # Default = bf16: occluder A/B delta vs f32 < 0.01 cm ADD
+    # (PERF.md round-4 batch 2) at half the gather bytes.
+    assoc_dtype: str = "bf16"
     # stop outer GN iterations once the max per-frame update norm drops
     # below this (the reference carries the same convergence early-out
     # behind ENABLE_EARLY_OUT, EvalGNConvergence < 5e-3,

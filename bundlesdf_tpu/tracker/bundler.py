@@ -1041,11 +1041,11 @@ class Bundler:
                 reassoc_iters=int(bcfg.get("reassoc_iters", 1)),
                 assoc_stride_first=int(bcfg.get("assoc_stride_first", 2)),
                 assoc_refine_mode=str(bcfg.get("assoc_refine_mode",
-                                               "window")),
+                                               "projective")),
                 assoc_layout=str(bcfg.get("assoc_layout", "lane")),
-                assoc_dtype=str(bcfg.get("assoc_dtype", "f32")),
+                assoc_dtype=str(bcfg.get("assoc_dtype", "bf16")),
                 assoc_entry_mode=str(bcfg.get("assoc_entry_mode",
-                                              "window")),
+                                              "hybrid")),
                 early_out_delta=float(bcfg.get("early_out_delta", 1e-4)),
                 robust_delta=bcfg["robust_delta"],
                 w_sparse=bcfg["w_fm"] if it == 0 else 0.0,
