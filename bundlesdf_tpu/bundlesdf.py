@@ -695,10 +695,13 @@ class BundleSdf:
             np.asarray(self.translation))
         self.nerf = NofRunner(cfg, rgbs_p, depths_p, masks_p, normals_p,
                               poses_p, self.K, build_octree_pts=pcd_norm)
-        # warm one chunk so the refine rate below excludes the XLA compile
+        # warm one chunk so the refine rate below excludes the XLA compile;
+        # warm + remainder reproduce train()'s exact N_iters = n_step + 1
+        # step count even when n_step < scan_chunk
+        n_total = int(cfg["n_step"]) + 1
         t_w = time.perf_counter()
-        self.nerf.train(n_steps=self.nerf.scan_chunk)
-        n_rest = max(int(cfg["n_step"]) - self.nerf.scan_chunk, 0)
+        self.nerf.train(n_steps=min(self.nerf.scan_chunk, n_total))
+        n_rest = n_total - min(self.nerf.scan_chunk, n_total)
         t0 = time.perf_counter()
         self.nerf.train(n_steps=n_rest)
         dt = time.perf_counter() - t0

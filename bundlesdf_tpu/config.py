@@ -76,8 +76,12 @@ def default_track_config() -> dict:
             "reassoc_iters": 1,
             "assoc_stride_first": 2,
             # refine-pass association: "window" (reference radius-2 NN
-            # search) or "projective" (single-tap, KinectFusion-style) —
-            # the windowed pass costs P*D*~125ns of slice descriptors
+            # search) or "projective" (single-tap, KinectFusion-style).
+            # NOTE: refine re-association runs only for GN iterations
+            # 1..reassoc_iters-1, so this knob takes effect ONLY when
+            # reassoc_iters > 1 — at the default schedule (1) the entry
+            # association is frozen for all iterations and this is inert.
+            # The windowed pass costs P*D*~125ns of slice descriptors
             # (the BA's TPU roofline) where projective is a ~12ns/row
             # gather. Default flipped to projective after the glyph-
             # fixture occluder A/B (docs/PERF.md r4 batch 2): the fast

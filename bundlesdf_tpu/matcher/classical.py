@@ -256,6 +256,11 @@ def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits, ratio_loose=None,
     if ratio_loose is None or ratio_loose <= ratio or min_strict <= 0:
         ratio_loose = ratio
         min_strict = 0
+    # bf16 distance-matrix exactness holds only while every hamming
+    # distance (<= nbits) and the 512 sentinel are exactly representable
+    # in bf16's 8-bit mantissa; a wider descriptor (> 256 bits) would
+    # silently corrupt argmin/ratio results, so fall back to f32 there
+    dist_dtype = jnp.bfloat16 if nbits <= 256 else jnp.float32
 
     def one(bA, bB, na, nb):
         # int8 +/-1 bits -> bf16 for the MXU; f32 accumulation is exact
@@ -275,8 +280,8 @@ def orb_match_core(bitsA, bitsB, nA, nB, ratio, nbits, ratio_loose=None,
         # masked sentinel 512 is exact in bf16 and > any real distance.
         # Only the per-row F-vectors are cast back to f32 so the ratio
         # products keep exact reference semantics.
-        dist = ((nbits - sim) * 0.5).astype(jnp.bfloat16)
-        big = jnp.bfloat16(512.0)
+        dist = ((nbits - sim) * 0.5).astype(dist_dtype)
+        big = dist_dtype(512.0)
         bigf = jnp.float32(512.0)
         d = jnp.where(colmask[None, :] & rowmask[:, None], dist, big)
         iota = jnp.arange(F)

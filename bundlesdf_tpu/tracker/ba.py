@@ -426,6 +426,13 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                                             src_valid, cfg)
         poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
                                    assoc=entry_assoc)
+    elif cfg.assoc_entry_mode == "hybrid" and pair_ij_w is None:
+        # hybrid needs the caller's uncertain-pair subset; a
+        # default-constructed BAConfig without pair_ij_w/pair_w_dst falls
+        # back to the all-window entry pass (correct for every pair)
+        # instead of crashing at trace time in _dense_associate
+        poses, assoc, dmax = outer(poses0, cfg.assoc_radius,
+                                   stride=max(1, cfg.assoc_stride_first))
     elif cfg.assoc_entry_mode == "hybrid":
         # projective single-tap for every pair (cheap: one gather row per
         # point), then OVERWRITE the uncertain pairs' rows with the wide

@@ -989,13 +989,25 @@ class Bundler:
 
         # hybrid entry association: the wide windowed search runs only on
         # the UNCERTAIN pairs — those touching the new frame (its
-        # procrustes init carries the only fresh pose error; the other
-        # window members were jointly converged by the previous BA call,
-        # within the /4-grid pixel quantum where single-tap projective
-        # association picks the same pixel). Pw bucket of 8/16.
-        nf_w = idx_of.get(self.new_frame.id, -1) if self.new_frame else -1
+        # procrustes init carries the only fresh pose error) or touching a
+        # frame whose converged-pose assumption does not hold: frames
+        # absent from the previous successful BA window (keyframes
+        # re-entering after drift, post-FAIL relocalization) and frames
+        # whose pose moved since that BA wrote it (NOF sync-back). Pairs
+        # of frames jointly converged by the previous BA are within the
+        # /4-grid pixel quantum where single-tap projective association
+        # picks the same pixel. Pw bucket of 8/16.
+        last_win = getattr(self, "_last_ba_window", {})
+
+        def _uncertain(f):
+            if f is self.new_frame:
+                return True
+            p = last_win.get(f.id)
+            return p is None or not np.array_equal(p, f.pose_in_model)
+
+        unc = {k for k, f in enumerate(frames) if _uncertain(f)}
         nf_rows = [r for r, (i, j) in enumerate(live_pairs)
-                   if nf_w in (i, j)]
+                   if i in unc or j in unc]
         Pw_b = next(b for b in (8, 16, 32, 64, 1 << 30)
                     if b >= max(len(nf_rows), 1))
         pair_ij_w = np.zeros((Pw_b, 2), np.int32)
@@ -1145,4 +1157,9 @@ class Bundler:
 
         for k, f in enumerate(frames):
             f.pose_in_model = poses[k].astype(np.float64)
+        # record the jointly-converged window for the next dispatch's
+        # hybrid entry routing: a pair is "certain" only if both frames
+        # were in THIS window and their poses are still exactly these
+        self._last_ba_window = {f.id: f.pose_in_model.copy()
+                                for f in frames}
         self._save_ba_poses(frames, "after")

@@ -88,7 +88,11 @@ def _run_mode_cfg(bundle_overrides):
 
 
 def _run_mode(mode):
-    return _run_mode_cfg({"assoc_refine_mode": mode})
+    # reassoc_iters >= 2: the refine re-association runs only for GN
+    # iterations 1..reassoc_iters-1, so the shipped default (1) never
+    # executes assoc_refine_mode at all — force a real refine pass so the
+    # two arms actually differ in the program they run
+    return _run_mode_cfg({"assoc_refine_mode": mode, "reassoc_iters": 3})
 
 
 def test_ba_projective_refine_matches_window():
