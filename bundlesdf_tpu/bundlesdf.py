@@ -108,6 +108,17 @@ class BundleSdf:
         self.translation = None
         self.sc_factor = None
         self.mesh = None
+        # tracker||NOF stall anatomy: wall seconds by phase, accumulated
+        # across the run (read by bench.py's pipeline record and the
+        # PERF.md pipeline section). Keys: nerf_prep (host batch prep:
+        # scene bounds + ray store + runner init), nerf_dispatch
+        # (start_training enqueue), nerf_poll (non-blocking chunk feed),
+        # nerf_sync (blocking finish_training drain), nerf_post (pose
+        # sync-back + optional mesh extract). n_* are event counts.
+        self.pipeline_stats = {
+            "nerf_prep_s": 0.0, "nerf_dispatch_s": 0.0, "nerf_poll_s": 0.0,
+            "nerf_sync_s": 0.0, "nerf_post_s": 0.0,
+            "n_batches": 0, "n_sync_blocks": 0}
 
     # ------------------------------------------------------------------
     def make_frame(self, color, depth, K, id_str, mask=None, occ_mask=None,
@@ -439,10 +450,14 @@ class BundleSdf:
         # sync_max_delay keyframes ahead of the frames the NOF consumed
         # (0 = strict sync, config.yml:102)
         if self.nerf is not None and self.nerf.training_in_flight:
+            t0 = time.perf_counter()
             done = self.nerf.poll_training()
+            self.pipeline_stats["nerf_poll_s"] += time.perf_counter() - t0
             behind = len(self.bundler.keyframes) - self.nerf_num_frames
             max_ahead = int(self.cfg_nerf.get("sync_max_delay", 0))
             if done or behind >= max_ahead:
+                if not done:
+                    self.pipeline_stats["n_sync_blocks"] += 1
                 self._finish_nerf_batch()
 
         self.save_newframe_result(frame)
@@ -461,6 +476,8 @@ class BundleSdf:
     # NOF batch (ref run_nerf bundlesdf.py:64-260, continual branch)
     # ------------------------------------------------------------------
     def _run_nerf_batch(self):
+        t_prep = time.perf_counter()
+        self.pipeline_stats["n_batches"] += 1
         batch = self.kf_to_nerf_list
         self.kf_to_nerf_list = []
         rgbs = np.array([f["rgb"] for f in batch])
@@ -527,17 +544,24 @@ class BundleSdf:
             self.nerf.add_new_frames(rgbs_p, depths_p, masks_p, normals_p,
                                      poses_all, occ_masks=occ_masks,
                                      new_pcd=pcd_norm, reuse_weights=False)
+        t_disp = time.perf_counter()
+        self.pipeline_stats["nerf_prep_s"] += t_disp - t_prep
         self.nerf.start_training()
+        self.pipeline_stats["nerf_dispatch_s"] += time.perf_counter() - t_disp
         self.prev_pcd_real_scale = voxel_downsample(pcd_all, 0.01)
 
-    def _finish_nerf_batch(self):
+    def _finish_nerf_batch(self, final=False):
         """Block until the in-flight NOF batch completes, then sync the
         optimized poses back into the keyframe pool."""
         if self.nerf is not None and self.nerf.training_in_flight:
+            t0 = time.perf_counter()
             self.nerf.finish_training()
-            self._sync_poses_from_nerf()
+            t1 = time.perf_counter()
+            self.pipeline_stats["nerf_sync_s"] += t1 - t0
+            self._sync_poses_from_nerf(final=final)
+            self.pipeline_stats["nerf_post_s"] += time.perf_counter() - t1
 
-    def _sync_poses_from_nerf(self):
+    def _sync_poses_from_nerf(self, final=False):
         """Overwrite keyframe poses with NOF-optimized poses and mark them
         nerfed (ref bundlesdf.py:587-617)."""
         if self.nerf is None:
@@ -562,9 +586,18 @@ class BundleSdf:
                         if k[0] in ids or k[1] in ids]:
                 del self.bundler.matches[key]
 
-        mesh = self.nerf.extract_mesh()
-        if mesh is not None:
-            self.mesh = self.nerf.mesh_to_real_world(mesh, pose_offset=offset)
+        # the per-batch mesh exists solely to feed the GUI process (ref
+        # bundlesdf.py:234-241 publishes it into p_dict; only run_gui
+        # consumes it) — headless runs skip the dense SDF-grid query +
+        # marching (seconds of host+device per batch, docs/PERF.md
+        # pipeline anatomy). The final batch always extracts so
+        # self.mesh is populated after on_finish.
+        if final or self.gui is not None \
+                or bool(self.cfg_nerf.get("mesh_every_batch", False)):
+            mesh = self.nerf.extract_mesh()
+            if mesh is not None:
+                self.mesh = self.nerf.mesh_to_real_world(mesh,
+                                                         pose_offset=offset)
 
     # ------------------------------------------------------------------
     # outputs (ref saveNewframeResult Bundler.cpp:959-1111)
@@ -627,12 +660,20 @@ class BundleSdf:
     def on_finish(self):
         """Final pipeline + NOF flush (ref on_finish bundlesdf.py:324-338)."""
         self.flush_pipeline()
-        self._finish_nerf_batch()
         if self.kf_to_nerf_list and (self.cnt_nerf >= 0 or
                                      len(self.kf_to_nerf_list) >=
                                      self.start_nerf_keyframes):
-            self._run_nerf_batch()
             self._finish_nerf_batch()
+            self._run_nerf_batch()
+        self._finish_nerf_batch(final=True)
+        if self.nerf is not None and self.mesh is None:
+            # last batch completed before on_finish (headless runs skip
+            # the per-batch extract) — produce the final mesh now
+            _, offset = self.nerf.get_optimized_poses_in_real_world()
+            mesh = self.nerf.extract_mesh()
+            if mesh is not None:
+                self.mesh = self.nerf.mesh_to_real_world(mesh,
+                                                         pose_offset=offset)
 
     # ------------------------------------------------------------------
     # offline global refine (ref run_global_nerf bundlesdf.py:636-766)

@@ -261,6 +261,15 @@ def default_nerf_config() -> dict:
         "dbscan_eps": 0.06,
         "dbscan_eps_min_samples": 1,
         "sync_max_delay": 0,
+        # tracker||NOF placement (SURVEY §2.3): -1 = share the tracker's
+        # chip (NOF scans serialize against tracking on one instruction
+        # stream); >=0 = commit all NOF state + training dispatches to
+        # jax.devices()[nerf_device] so the two genuinely overlap.
+        # Mutually exclusive with dp_devices (ray-DP).
+        "nerf_device": -1,
+        # ray-DP the scanned train step over the first N devices
+        # (parallel/dp.py shard_map + pmean); 0/1 = single device
+        "dp_devices": 0,
         "save_dir": "/tmp/bundlesdf_tpu/nerf",
     })
 

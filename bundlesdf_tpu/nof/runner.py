@@ -220,6 +220,36 @@ class NofRunner:
                 logging.warning(f"dp_devices={n_dp} but only {len(devs)} "
                                 "devices visible; training single-device")
 
+        # two-device tracker||NOF placement (SURVEY §2.3 "tracker and NOF
+        # can share a chip or use 2 devices"): cfg 'nerf_device: <idx>'
+        # commits the NOF state (params/opt/rays/occupancy) to that device
+        # so every training dispatch executes there, off the tracker's
+        # chip — the single-chip mode serializes 500-step batches against
+        # tracking on one instruction stream (docs/PERF.md pipeline
+        # anatomy). Mutually exclusive with ray-DP (dp_devices).
+        self.device = None
+        nd = int(cfg.get("nerf_device", -1))
+        if nd >= 0 and self.dp_mesh is None:
+            devs = jax.devices()
+            if nd < len(devs):
+                self.device = devs[nd]
+            else:
+                logging.warning(f"nerf_device={nd} but only {len(devs)} "
+                                "devices visible; staying on default")
+        self._commit_state()
+
+    def _commit_state(self):
+        """Commit the persistent NOF state to the configured nerf_device
+        (no-op otherwise). Committed inputs make every downstream jit
+        execute on that device; dispatch-time scalars are uncommitted and
+        follow."""
+        if self.device is None:
+            return
+        (self.params, self.opt_state, self.rays, self.c2w_array,
+         self.occ_grid) = jax.device_put(
+            (self.params, self.opt_state, self.rays, self.c2w_array,
+             self.occ_grid), self.device)
+
     def _dispatch_train_steps(self, chunk: int, k):
         """One train_steps dispatch, routed to the single-chip scan or the
         shard_map DP variant when a dp mesh is configured."""
@@ -327,16 +357,22 @@ class NofRunner:
     # hand-off, which would recompile the whole program (~minutes through
     # the dev tunnel) per batch. Pad both to coarse buckets so one compile
     # serves every batch in the bucket; sampling draws only real rays.
+    # Buckets grow 4x (not 2x): the padded store is dead memory only
+    # (~48 MB/1M rays — the per-step sampler gathers N_rand rows bounded
+    # by n_rays_valid, so padding costs zero compute), while every bucket
+    # crossing is a full recompile that stalls the ONLINE pipeline
+    # mid-run (docs/PERF.md pipeline anatomy), so trade memory for
+    # crossings aggressively.
     @staticmethod
     def _ray_bucket(n: int) -> int:
-        b = 1 << 14
+        b = 1 << 16
         while b < n:
-            b <<= 1
+            b <<= 2
         return b
 
     @staticmethod
     def _frame_bucket(n: int) -> int:
-        return -(-n // 8) * 8
+        return -(-n // 16) * 16
 
     def _pad_ray_store(self, rays):
         n = int(rays["depth"].shape[0])
@@ -455,6 +491,7 @@ class NofRunner:
             {k: jnp.concatenate([real[k], new_rays[k]], axis=0)
              for k in real})
         self._dp_rays = None  # sharded copy rebuilt from the new store
+        self._commit_state()
 
     # -- training ----------------------------------------------------------
 
@@ -780,6 +817,7 @@ class NofRunner:
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.global_step = int(data["global_step"])
+        self._commit_state()
 
     def copy_from(self, other, ignore=()):
         """Warm-start field weights from another runner
@@ -796,6 +834,7 @@ class NofRunner:
                 self.params[k] = (self.params[k].at[:n_other]
                                   .set(other.params[k][:n_other]))
         self.opt_state = make_optimizer().init(self.params)
+        self._commit_state()
 
     # -- outputs -----------------------------------------------------------
 
