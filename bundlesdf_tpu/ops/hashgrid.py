@@ -209,6 +209,27 @@ def _run_starts(ids):
         [jnp.ones((R, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1)
 
 
+def _select_ids_einsum(st, ids, n_rows: int):
+    """Select one id per (r, k) slot via MXU one-hot einsum: @st (R,S,K)
+    bool with at most one True per (r, k); @ids (R,S) int32. The einsum is
+    a pure selection (one nonzero product per output), so it is exact iff
+    each id VALUE is exact in f32. Small levels (< 2^24 rows) use one
+    einsum; bigger dense levels (e.g. res 256 at T=2^25: 257^3 = 16.97M
+    rows) split each id into 12-bit halves (< 4096, exact) and recombine
+    in int32. Slots with no True row return 0."""
+    stf = st.astype(jnp.float32)
+    if n_rows < (1 << 24):
+        out = jnp.einsum("rsk,rs->rk", stf, ids.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32)
+    assert n_rows < (1 << 31)
+    hi = jnp.einsum("rsk,rs->rk", stf, (ids >> 12).astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    lo = jnp.einsum("rsk,rs->rk", stf, (ids & 0xFFF).astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    return (hi.astype(jnp.int32) << 12) | lo.astype(jnp.int32)
+
+
 def _dedup_level_features(packed, ids, K: int, W: int, n_rows: int,
                           method: str, m_cap_frac: float, bf16: bool):
     """Gather one packed row per voxel run and broadcast back to samples.
@@ -231,14 +252,13 @@ def _dedup_level_features(packed, ids, K: int, W: int, n_rows: int,
 
     # run k's row id, extracted with a one-hot einsum instead of
     # top_k + take_along_axis (row-serialized on TPU). Exactly one start
-    # per k (< K) matches (run_ord unclamped excludes overflow runs), and
-    # dense-level ids < 2^22 <= 2^24 are exact in f32.
-    assert n_rows < (1 << 24)
+    # per k (< K) matches (run_ord unclamped excludes overflow runs), so
+    # the einsum is a pure selection: exact iff each id VALUE is exact in
+    # f32. Small levels (< 2^24 rows) use one einsum; bigger dense levels
+    # (e.g. res 256 at T=2^25: 257^3 = 16.97M rows) split each id into
+    # 12-bit halves (< 4096, exact) and recombine in int32.
     st = ((run_ord[..., None] == k_ids) & is_start[..., None])    # (R,S,K)
-    rows_k = jnp.einsum("rsk,rs->rk", st.astype(jnp.float32),
-                        ids.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
-    rows_k = rows_k.astype(jnp.int32)                             # (R,K)
+    rows_k = _select_ids_einsum(st, ids, n_rows)                  # (R,K)
     n_runs = jnp.sum(is_start.astype(jnp.int32), axis=1)          # (R,)
     valid_k = k_ids[None, :] < n_runs[:, None]
     # sentinel n_rows: empty slots gather zeros and sort out of the

@@ -62,3 +62,26 @@ def test_interpolation_continuity():
                     jnp.zeros(11), jnp.zeros(11)], axis=-1)
     out = np.asarray(hashgrid_encode(table, xs, spec))
     assert np.abs(np.diff(out, axis=0)).max() < 1e-3
+
+
+def test_select_ids_einsum_big_dense_level():
+    """Row-id selection must stay exact for dense levels past the f32
+    integer range (res 256 at T=2^25 -> 257^3 = 16.97M rows): the split
+    12-bit two-einsum path must reproduce integer selection exactly."""
+    import numpy as np
+    from bundlesdf_tpu.ops.hashgrid import _select_ids_einsum
+    rng = np.random.default_rng(0)
+    R, S, K = 16, 32, 8
+    n_rows = 257 ** 3  # 16_974_593 > 2^24
+    # ids around / above 2^24 where f32 spacing is 2.0
+    ids = rng.integers(n_rows - (1 << 20), n_rows, size=(R, S)).astype(
+        np.int32)
+    st = np.zeros((R, S, K), bool)
+    for r in range(R):
+        for k in range(K):
+            st[r, rng.integers(0, S), k] = True
+    got = np.asarray(_select_ids_einsum(jnp.asarray(st), jnp.asarray(ids),
+                                        n_rows))
+    want = (st.astype(np.int64) *
+            ids[:, :, None].astype(np.int64)).sum(axis=1)
+    np.testing.assert_array_equal(got, want)
