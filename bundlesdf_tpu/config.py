@@ -64,6 +64,17 @@ def default_track_config() -> dict:
             "w_fm": 1,
             "w_sdf": 0,
             "w_pm": 0,
+            # dense photometric (intensity) term — reference parity with
+            # SolverBundling.cu:236-257 / SBA.cu:170 where
+            # m_localWeightsDenseColor also defaults to 0 but is
+            # config-reachable. >0 stores grey maps in the frame pool and
+            # adds the bilinear photometric residual to the BA. Useful
+            # values are SMALL (0.05-0.1): the term is a tie-breaker for
+            # in-plane directions the depth term can't see, and larger
+            # weights let the non-convex photometric cost overpower the
+            # geometry (see BAConfig.w_dense_color).
+            "w_dense_color": 0,
+            "robust_delta_color": 0.03,
             "robust_delta": 0.005,
             "min_fm_edges_newframe": 15,
             "image_downscale": [4],

@@ -113,6 +113,26 @@ class BAConfig:
     robust_delta: float = 0.005
     w_sparse: float = 1.0               # bundle.w_fm
     w_dense: float = 1.0                # bundle.w_p2p
+    # dense photometric term: intensity residual I_tgt(pi(T_i^-1 T_j p)) -
+    # I_src(p's pixel) over the same src points as the depth term
+    # (reference parity: SolverBundling.cu:236-257 builds this residual
+    # from CUDACache intensity+derivative pyramids; its weight defaults to
+    # 0 in SBA.cu:170 m_localWeightsDenseColor but is config-reachable).
+    # TPU formulation: differentiable bilinear sample of the grey map at
+    # the projected coords — autodiff through the bilinear weights IS the
+    # image-gradient chain rule the reference hand-codes from dIdx/dIdy.
+    # Requires grey maps in the call (bundle_adjust grey_down /
+    # bundle_adjust_pooled pool_greys); 0 = off (no extra rows).
+    # Weight scale: the color rows' pose Jacobian is ~dI/du * fx/z — two
+    # orders of magnitude steeper than the metric point-to-plane rows —
+    # so useful weights are SMALL (0.05-0.1 measured optimal on the orbit
+    # fixture; >=1 lets the non-convex photometric landscape overpower
+    # the geometry and corrupt the solve). Matches the reference's tiny
+    # dense-color weights relative to depth (SBA.cu weightsDenseColor).
+    w_dense_color: float = 0.0          # bundle.w_dense_color
+    robust_delta_color: float = 0.03    # huber knee, intensity in [0,1]
+    #   (adjacent-view |r| at GT alignment measures ~0.02 mean on the
+    #   fixture; knee just above it downweights occlusion/specular tails)
     damping: float = 1e-6
 
 
@@ -347,7 +367,7 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                   corr_i, corr_j, corr_pi, corr_pj, corr_valid,
                   update_flags, src_idx, src_valid,
                   cfg: BAConfig = BAConfig(), pair_valid=None,
-                  pair_ij_w=None, pair_w_dst=None):
+                  pair_ij_w=None, pair_w_dst=None, grey_down=None):
     """Jointly refine frame poses.
 
     @poses0: (N,4,4) cam-in-model. @K_down: (3,3) intrinsics of the
@@ -366,6 +386,18 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
     flags = update_flags.astype(jnp.float32)
     if pair_valid is None:
         pair_valid = jnp.ones(pair_ij.shape[0], jnp.float32)
+
+    # dense photometric term (SolverBundling.cu:236-257): hoisted gathers
+    use_color = cfg.w_dense_color > 0 and grey_down is not None
+    if use_color:
+        hg, wg = grey_down.shape[1], grey_down.shape[2]
+        gd_flat = grey_down.reshape(N, -1)                      # (N, hw)
+        I_src_all = jnp.take_along_axis(gd_flat, src_idx, axis=1)
+        I_tgt_pair = gd_flat[pair_ij[:, 0]]                     # (P, hw)
+        I_src_pair = I_src_all[pair_ij[:, 1]]                   # (P, D)
+        src_v_pair = src_valid[pair_ij[:, 1]].astype(jnp.float32)
+        fxc, fyc = K_down[0, 0], K_down[1, 1]
+        cxc, cyc = K_down[0, 2], K_down[1, 2]
 
     def outer(poses, radius: int, stride: int = 1, assoc=None):
         if assoc is None:
@@ -396,7 +428,49 @@ def bundle_adjust(poses0, K_down, xyz_down, nrm_down, pair_ij,
                 * assoc["found"].astype(jnp.float32) \
                 * pair_valid[:, None]
             r_dense = r_dense * w_d
-            return jnp.concatenate([r_sparse.reshape(-1), r_dense.reshape(-1)])
+            parts = [r_sparse.reshape(-1), r_dense.reshape(-1)]
+            if use_color:
+                # photometric: project the transformed src point and
+                # bilinear-sample the tgt grey; the bilinear weights carry
+                # the pose gradient (the reference's dIdx/dIdy chain rule,
+                # SolverBundlingEquationsLie.h color block)
+                z = jnp.maximum(p_in_tgt[..., 2], 1e-6)
+                u = p_in_tgt[..., 0] / z * fxc + cxc        # (P, D)
+                v = p_in_tgt[..., 1] / z * fyc + cyc
+                u0 = jnp.floor(u)
+                v0 = jnp.floor(v)
+                fu = u - u0
+                fv = v - v0
+                u0i = jnp.clip(u0.astype(jnp.int32), 0, wg - 2)
+                v0i = jnp.clip(v0.astype(jnp.int32), 0, hg - 2)
+                base = v0i * wg + u0i
+                I00 = jnp.take_along_axis(I_tgt_pair, base, axis=1)
+                I01 = jnp.take_along_axis(I_tgt_pair, base + 1, axis=1)
+                I10 = jnp.take_along_axis(I_tgt_pair, base + wg, axis=1)
+                I11 = jnp.take_along_axis(I_tgt_pair, base + wg + 1, axis=1)
+                It = (I00 * (1 - fu) * (1 - fv) + I01 * fu * (1 - fv)
+                      + I10 * (1 - fu) * fv + I11 * fu * fv)
+                r_c = It - I_src_pair
+                # gates + robust weight are fixed at the linearization
+                # point (same stop-gradient semantics as the association).
+                # assoc["found"] is essential: the reference evaluates the
+                # color residual only where the depth correspondence search
+                # succeeded (same findDenseCorr loop) — without it, self-
+                # occluded src points (back faces) project onto unrelated
+                # surface intensity and corrupt the solve.
+                gate = jax.lax.stop_gradient(
+                    ((u >= 0) & (u <= wg - 1) & (v >= 0) & (v <= hg - 1)
+                     & (p_in_tgt[..., 2] > cfg.dense_depth_min)).astype(
+                        jnp.float32)
+                    * assoc["found"].astype(jnp.float32)) * src_v_pair
+                absr = jax.lax.stop_gradient(jnp.abs(r_c))
+                hub_c = jnp.where(
+                    absr <= cfg.robust_delta_color, 1.0,
+                    cfg.robust_delta_color / jnp.maximum(absr, 1e-12))
+                w_c = jnp.sqrt(cfg.w_dense_color * hub_c) * gate \
+                    * pair_valid[:, None]
+                parts.append((r_c * w_c).reshape(-1))
+            return jnp.concatenate(parts)
 
         delta0 = jnp.zeros(N * 6)
         r0 = residuals(delta0)
@@ -501,7 +575,7 @@ def bundle_adjust_pooled(pool_xyzs, pool_nrms, slots, slot_live, poses0, K,
                          pair_valid=None, pool_valids=None, nf_idx=None,
                          kf_slots=None, kf_poses=None, kf_window_idx=None,
                          covis_thres_cos=None, pre_decim: int = 1,
-                         pair_ij_w=None, pair_w_dst=None):
+                         pair_ij_w=None, pair_w_dst=None, pool_greys=None):
     """bundle_adjust fed straight from the FramePool: the slot gather, the
     padded-slot zeroing, and the /factor downsample run inside the SAME
     program (the round-3 driver paid 4-5 extra dispatches per BA call for
@@ -534,13 +608,36 @@ def bundle_adjust_pooled(pool_xyzs, pool_nrms, slots, slot_live, poses0, K,
     nrm = pool_nrms[slots] * live
     xyz_d = xyz[:, ::s, ::s]
     nrm_d = nrm[:, ::s, ::s]
+    grey_d = None
+    if pool_greys is not None and cfg.w_dense_color > 0:
+        # pool greys arrive at the pre_decim pyramid level (greys_h is a
+        # centered [1,2,1]/4 pyramid step). Unlike the geometry maps,
+        # intensity must be ANTIALIASED down to the BA grid, not strided:
+        # pure decimation of real texture leaves alias noise whose
+        # bilinear "gradient" misdirects GN (measured on the orbit
+        # fixture: strided grey at factor 4 drove the solve from 1.25 mm
+        # to 16.8 mm; the filtered pyramid + small weight improves it to
+        # 0.66 mm — docs/PERF.md round 5). Iterated centered 121 steps
+        # keep sample i on full pixel i*s, the grid K_down assumes.
+        gsel = pool_greys[slots] * slot_live[:, None, None]
+        ss = s
+        assert ss & (ss - 1) == 0, f"grey stride {s} must be a power of 2"
+        while ss > 1:
+            gp = jnp.pad(gsel, ((0, 0), (1, 1), (1, 1)), mode="edge")
+            sm = (gp[:, :-2] + 2.0 * gp[:, 1:-1] + gp[:, 2:]) * 0.25
+            sm = (sm[:, :, :-2] + 2.0 * sm[:, :, 1:-1]
+                  + sm[:, :, 2:]) * 0.25
+            gsel = sm[:, ::2, ::2]
+            ss //= 2
+        grey_d = gsel
     K_d = jnp.asarray(K).astype(jnp.float32)
     K_d = K_d.at[0].mul(1.0 / factor).at[1].mul(1.0 / factor)
     poses = bundle_adjust(poses0, K_d, xyz_d, nrm_d, pair_ij, corr_i,
                           corr_j, corr_pi, corr_pj, corr_valid,
                           update_flags, src_idx, src_valid, cfg,
                           pair_valid=pair_valid,
-                          pair_ij_w=pair_ij_w, pair_w_dst=pair_w_dst)
+                          pair_ij_w=pair_ij_w, pair_w_dst=pair_w_dst,
+                          grey_down=grey_d)
     if nf_idx is None:
         return poses
     assert pre_decim <= 2

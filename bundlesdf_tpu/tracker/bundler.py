@@ -88,6 +88,9 @@ class Bundler:
                                       frame.xyz_dev, frame.normal_dev, valid)
         frame.pool = pool
         frame.depth_dev = frame.xyz_dev = frame.normal_dev = None
+        if float(self.cfg["bundle"].get("w_dense_color", 0) or 0) > 0:
+            pool.set_grey(frame.id, frame.color.astype(np.float32)
+                          .mean(axis=-1) / 255.0)
         return frame.slot
 
     # ------------------------------------------------------------------
@@ -1061,7 +1064,10 @@ class Bundler:
                 early_out_delta=float(bcfg.get("early_out_delta", 1e-4)),
                 robust_delta=bcfg["robust_delta"],
                 w_sparse=bcfg["w_fm"] if it == 0 else 0.0,
-                w_dense=bcfg["w_p2p"])
+                w_dense=bcfg["w_p2p"],
+                w_dense_color=float(bcfg.get("w_dense_color", 0.0) or 0.0),
+                robust_delta_color=float(
+                    bcfg.get("robust_delta_color", 0.1)))
 
             # per-frame valid-object-point indices in the downsampled grid:
             # the dense term runs on these D points, not all h*w pixels.
@@ -1094,6 +1100,9 @@ class Bundler:
             p_xyzs = self.pool.xyzs_h if half else self.pool.xyzs
             p_nrms = self.pool.nrms_h if half else self.pool.nrms
             p_valids = self.pool.valids_h if half else self.pool.valids
+            p_greys = None
+            if cfg_ba.w_dense_color > 0 and self.pool.greys is not None:
+                p_greys = self.pool.greys_h if half else self.pool.greys
             admission = dict(
                 pool_valids=p_valids, nf_idx=nf_idx,
                 kf_slots=jnp.asarray(kf_slots),
@@ -1110,6 +1119,7 @@ class Bundler:
                 jnp.asarray(valid), jnp.asarray(update_flags),
                 jnp.asarray(src_idx), jnp.asarray(src_valid), factor, cfg_ba,
                 pair_valid=jnp.asarray(pair_valid), pre_decim=pd,
+                pool_greys=p_greys,
                 **({"pair_ij_w": jnp.asarray(pair_ij_w),
                     "pair_w_dst": jnp.asarray(pair_w_dst)}
                    if cfg_ba.assoc_entry_mode == "hybrid" else {}),

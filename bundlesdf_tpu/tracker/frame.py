@@ -74,6 +74,12 @@ class Frame:
             except AttributeError:
                 pass
             self.depth_dev = self.xyz_dev = self.normal_dev = None
+            if float(cfg.get("bundle", {}).get("w_dense_color", 0)
+                     or 0) > 0:
+                # grey map for the dense photometric BA term
+                # (SolverBundling.cu:236-257; weight off by default)
+                pool.set_grey(self.id, self.color.astype(np.float32)
+                              .mean(axis=-1) / 255.0)
         else:
             self.slot = None
             dp = cfg["depth_processing"]

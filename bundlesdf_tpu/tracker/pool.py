@@ -393,6 +393,11 @@ class FramePool:
         self.xyzs_h = jnp.zeros((cap, Hh, Wh, 3), jnp.float32)
         self.nrms_h = jnp.zeros((cap, Hh, Wh, 3), jnp.float32)
         self.valids_h = jnp.zeros((cap, Hh, Wh), bool)
+        # grey intensity maps for the dense photometric BA term
+        # (BAConfig.w_dense_color; reference CUDACache intensity pyramid).
+        # Lazily allocated by set_grey — zero memory when the term is off.
+        self.greys = None
+        self.greys_h = None
         self.slot_of: dict[int, int] = {}
         self._free = list(range(cap))
 
@@ -423,6 +428,11 @@ class FramePool:
             [self.nrms_h, jnp.zeros((pad, Hh, Wh, 3), jnp.float32)])
         self.valids_h = jnp.concatenate(
             [self.valids_h, jnp.zeros((pad, Hh, Wh), bool)])
+        if self.greys is not None:
+            self.greys = jnp.concatenate(
+                [self.greys, jnp.zeros((pad, self.H, self.W), jnp.float32)])
+            self.greys_h = jnp.concatenate(
+                [self.greys_h, jnp.zeros((pad, Hh, Wh), jnp.float32)])
         self._free.extend(range(self.cap, new_cap))
         self.cap = new_cap
 
@@ -473,6 +483,30 @@ class FramePool:
         self.nrms_h = self.nrms_h.at[slot].set(nrm[::2, ::2])
         self.valids_h = self.valids_h.at[slot].set(valid[::2, ::2])
         return slot
+
+    def set_grey(self, frame_id, grey):
+        """Store a frame's grey intensity map (0..1 f32) for the dense
+        photometric BA term. The half-res twin is a centered separable
+        [1,2,1]/4 pyramid step — the antialias the reference gets from its
+        filtered intensity pyramid (CUDACache intensityFiltered). The odd
+        centered kernel keeps half-res sample i at full pixel 2i exactly,
+        matching the strided geometry grid (a 2x2 box mean would shift the
+        grey grid by half a pixel against K_down and bias the term)."""
+        slot = self.slot_of[frame_id]
+        H, W = self.H, self.W
+        g = np.asarray(grey, np.float32)
+        assert g.shape == (H, W), (g.shape, (H, W))
+        if self.greys is None:
+            Hh, Wh = self.xyzs_h.shape[1:3]
+            self.greys = jnp.zeros((self.cap, H, W), jnp.float32)
+            self.greys_h = jnp.zeros((self.cap, Hh, Wh), jnp.float32)
+        gp = np.pad(g, ((1, 1), (1, 1)), mode="edge")
+        sm = (gp[:-2] + 2.0 * gp[1:-1] + gp[2:]) * 0.25
+        sm = (sm[:, :-2] + 2.0 * sm[:, 1:-1] + sm[:, 2:]) * 0.25
+        gh = sm[::2, ::2]
+        self.greys = self.greys.at[slot].set(jnp.asarray(g))
+        self.greys_h = self.greys_h.at[slot].set(
+            jnp.asarray(gh.astype(np.float32)))
 
     def apply_mask(self, frame_id, mask):
         slot = self.slot_of[frame_id]
