@@ -30,7 +30,7 @@ import numpy as np
 import yaml
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-from synthetic import cube_orbit_sequence  # noqa: E402
+from synthetic import cube_orbit_sequence, cube_translation_sequence  # noqa: E402
 
 from bundlesdf_tpu.eval.benchmark import benchmark_video  # noqa: E402
 from bundlesdf_tpu.mesh import Mesh  # noqa: E402
@@ -85,8 +85,14 @@ def gt_surface_points(n=40000, obj_size=0.08, seed=0):
 
 def write_sequence(video_dir, n_frames, H, W, noise, obj_size=0.08,
                    protocol="easy"):
-    seq = cube_orbit_sequence(n_frames=n_frames, H=H, W=W, radius=0.45,
-                              obj_size=obj_size, noise=noise)
+    if protocol == "translation":
+        # translation-dominant stress geometry (second A/B fixture,
+        # round-4 verdict item 5): lateral slide at fixed orientation
+        seq = cube_translation_sequence(n_frames=n_frames, H=H, W=W,
+                                        obj_size=obj_size, noise=noise)
+    else:
+        seq = cube_orbit_sequence(n_frames=n_frames, H=H, W=W, radius=0.45,
+                                  obj_size=obj_size, noise=noise)
     if protocol == "occluder":
         from synthetic import add_occluder
         seq = add_occluder(seq)
@@ -134,9 +140,11 @@ def main():
     ap.add_argument("--W", type=int, default=640)
     ap.add_argument("--noise", type=float, default=0.002)
     ap.add_argument("--protocol", default="easy",
-                    choices=["easy", "occluder"],
+                    choices=["easy", "occluder", "translation"],
                     help="occluder: moving occluder sweep with occ_masks, "
-                         "forcing FAIL frames + relocalization")
+                         "forcing FAIL frames + relocalization; "
+                         "translation: lateral slide at fixed orientation "
+                         "(translation-dominant stress geometry)")
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--refine_steps", type=int, default=2000)
     ap.add_argument("--online_steps", type=int, default=0,
@@ -159,6 +167,10 @@ def main():
     ap.add_argument("--track_override", action="append", default=[],
                     help="tracker-config delta 'dotted.key=value', e.g. "
                          "bundle.reassoc_iters=7 (repeatable; A/B harness)")
+    ap.add_argument("--matcher", default="", choices=["", "gt"],
+                    help="'gt': GT-oracle correspondences (GtMatcher, the "
+                         "reference's findCorresbyGroundtruth) — isolates "
+                         "BA-schedule effects from matcher noise in A/Bs")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -184,12 +196,18 @@ def main():
         for item in args.track_override:
             key, _, val = item.partition("=")
             track_ov[key] = yaml.safe_load(val)
+        matcher = None
+        if args.matcher == "gt":
+            from bundlesdf_tpu.matcher.gt import GtMatcher
+            matcher = GtMatcher({id_str: seq["cam_in_obs"][i] for i, id_str
+                                 in enumerate(seq["id_strs"])})
         run_one_video(video_dir, out_folder, stride=args.stride,
                       debug_level=1, refine_overrides=overrides,
                       online_overrides=online,
                       track_overrides=track_ov or None,
                       skip_refine=args.skip_refine,
-                      start_nerf_keyframes=10 ** 9 if args.no_nerf else 5)
+                      start_nerf_keyframes=10 ** 9 if args.no_nerf else 5,
+                      matcher=matcher)
     wall = time.perf_counter() - t0
 
     gt_poses = np.linalg.inv(seq["cam_in_obs"])[::args.stride]

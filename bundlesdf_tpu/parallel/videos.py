@@ -15,12 +15,18 @@ import logging
 import jax
 
 
-def run_videos_parallel(video_jobs, make_tracker, n_devices=None):
+def run_videos_parallel(video_jobs, make_tracker, n_devices=None,
+                        devices=None):
     """@video_jobs: list of (reader, out_dir). @make_tracker:
     callable(out_dir) -> BundleSdf. Interleaves frames across videos with
-    each tracker's device work pinned to one chip."""
-    devices = jax.devices()
+    each tracker's device work pinned to one chip.
+    @devices: explicit device list (e.g. jax.devices('cpu') in mesh
+    dry-runs where the default backend was already initialized on
+    another platform); default = jax.devices()."""
+    devices = jax.devices() if devices is None else list(devices)
     n_devices = n_devices or len(devices)
+    assert len(devices) >= (n_devices or 1), (
+        f"need {n_devices} devices, jax.devices() has {len(devices)}")
     jobs = []
     for k, (reader, out_dir) in enumerate(video_jobs):
         dev = devices[k % n_devices]

@@ -71,7 +71,7 @@ def make_configs(out_folder, debug_level=2):
 def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
                   stride=1, debug_level=2, refine_overrides=None,
                   online_overrides=None, track_overrides=None,
-                  skip_refine=False, start_nerf_keyframes=5):
+                  skip_refine=False, start_nerf_keyframes=5, matcher=None):
     """@online_overrides: optional deltas on the ONLINE nerf config (e.g.
     n_step to bound per-keyframe NOF wall in benchmark harnesses; the
     reference exposes the same knob as config.yml:2).
@@ -80,7 +80,9 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
     @skip_refine: stop after online tracking (pose-metric A/B runs don't
     need the offline refine).
     @start_nerf_keyframes: reference default 5 (run_custom.py:115); a
-    huge value disables online NOF — tracker-only A/B isolation."""
+    huge value disables online NOF — tracker-only A/B isolation.
+    @matcher: optional matcher instance for BundleSdf (e.g. GtMatcher for
+    oracle-correspondence A/B runs; None = config-driven LoFTR/ORB)."""
     set_seed(0)
     os.makedirs(out_folder, exist_ok=True)
     cfg_track, cfg_nerf = make_configs(out_folder, debug_level)
@@ -101,7 +103,7 @@ def run_one_video(video_dir, out_folder, use_segmenter=False, use_gui=False,
 
     tracker = BundleSdf(cfg_track=cfg_track, cfg_nerf=cfg_nerf_online,
                         start_nerf_keyframes=start_nerf_keyframes,
-                        use_gui=use_gui)
+                        use_gui=use_gui, matcher=matcher)
     reader = YcbineoatReader(video_dir=video_dir, shorter_side=480)
 
     # per-frame segmenter (ref run_custom.py:64-91: reads the mask via

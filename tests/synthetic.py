@@ -132,6 +132,52 @@ def cube_orbit_sequence(n_frames=12, H=120, W=160, radius=0.45, obj_size=0.08,
     }
 
 
+def cube_translation_sequence(n_frames=12, H=120, W=160, z_dist=0.45,
+                              obj_size=0.08, sweep=0.30, noise=0.0, seed=0):
+    """Translation-dominant stress sequence: the camera slides laterally
+    past the cube cluster at FIXED orientation (look direction constant),
+    so the object translates across the image with near-zero rotation.
+    Stresses the in-image-plane directions where projective association
+    taps shift every frame, complementing the rotation-dominant orbit —
+    the second stress geometry for BA-schedule A/Bs (round-4 verdict
+    item 5)."""
+    rng = np.random.default_rng(seed)
+    f = 0.9 * max(H, W)
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1]],
+                 dtype=np.float64)
+    s = obj_size
+    boxes = [
+        ((0, 0, 0), (s, s, s), (200, 60, 60)),
+        ((s * 0.9, 0, s * 0.9), (s * 0.45, s * 0.45, s * 0.45), (60, 200, 60)),
+        ((-s * 0.8, s * 0.7, 0), (s * 0.35, s * 0.35, s * 0.35), (60, 60, 220)),
+    ]
+    colors, depths, masks, poses, ids = [], [], [], [], []
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        x = sweep * (t - 0.5)
+        eye = np.array([x, -0.12, z_dist])
+        # constant view direction: target rides WITH the eye, so the
+        # rotation is identical in every frame (pure translation)
+        cam_in_ob = look_at(eye, (x, 0, 0))
+        color, depth, mask = render_boxes_depth(cam_in_ob, K, H, W, boxes)
+        if noise > 0:
+            depth = depth + (rng.standard_normal(depth.shape) * noise
+                             * mask).astype(np.float32)
+        colors.append(color)
+        depths.append(depth)
+        masks.append(mask)
+        poses.append(cam_in_ob)
+        ids.append(f"{i:04d}")
+    return {
+        "colors": np.array(colors),
+        "depths": np.array(depths),
+        "masks": np.array(masks),
+        "K": K,
+        "cam_in_obs": np.array(poses),
+        "id_strs": ids,
+    }
+
+
 def add_occluder(seq, start_frac=0.35, end_frac=0.65, width_frac=0.45,
                  occ_depth=0.22, color=(90, 90, 90)):
     """Sweep a screen-space occluder strip across the view for the middle
