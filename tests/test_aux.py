@@ -85,6 +85,21 @@ def test_headless_gui(tmp_path):
     assert (tmp_path / "gui_0000.png").exists()
 
 
+def test_gui_factory_and_view_math(tmp_path):
+    """BundleSdfGui falls back to HeadlessGui without dearpygui; the
+    interactive view-rotation helper is a proper rotation (the DpgGui
+    window itself needs the dearpygui package + display — env-blocked)."""
+    from bundlesdf_tpu.gui import BundleSdfGui, HeadlessGui, _euler_xy, HAS_DPG
+    g = BundleSdfGui(out_dir=str(tmp_path))
+    if not HAS_DPG:
+        assert isinstance(g, HeadlessGui)
+    T = _euler_xy(0.3, -0.7)
+    R = T[:3, :3]
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert np.isclose(np.linalg.det(R), 1.0)
+    assert np.allclose(T[3], [0, 0, 0, 1]) and np.allclose(T[:3, 3], 0)
+
+
 def test_segmenter_stub(tmp_path):
     import cv2
     from bundlesdf_tpu.utils.segmentation import Segmenter
