@@ -10,9 +10,6 @@ from __future__ import annotations
 import numpy as np
 from scipy.spatial import cKDTree
 
-from bundlesdf_tpu.utils.se3 import kabsch
-
-
 def add_err(pred, gt, model_pts):
     pred_pts = model_pts @ pred[:3, :3].T + pred[:3, 3]
     gt_pts = model_pts @ gt[:3, :3].T + gt[:3, 3]
@@ -51,12 +48,28 @@ def chamfer_distance_mutual(pts1, pts2):
     return 0.5 * (d1.mean() + d2.mean())
 
 
+def _kabsch_np(src, dst):
+    """Rigid transform (4,4) mapping src -> dst, least squares (Umeyama
+    without scale). Pure numpy: eval must never touch a device — this is
+    the post-run scoring path and a flaky accelerator transport must not
+    be able to hang it (Utils.cpp:360-404 semantics)."""
+    c_s = src.mean(axis=0)
+    c_d = dst.mean(axis=0)
+    H = (src - c_s).T @ (dst - c_d)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.eye(3)
+    S[2, 2] = np.sign(np.linalg.det(Vt.T @ U.T))
+    R = Vt.T @ S @ U.T
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = c_d - R @ c_s
+    return T
+
+
 def icp_point_to_point(src, dst, max_dist=0.02, max_iter=30, tol=1e-7):
     """Iterative closest point with point-to-point Kabsch updates
     (open3d registration_icp equivalent). Returns (4,4) transform mapping
     src -> dst."""
-    import jax.numpy as jnp
-
     T = np.eye(4)
     cur = np.asarray(src, np.float64).copy()
     tree = cKDTree(dst)
@@ -66,9 +79,7 @@ def icp_point_to_point(src, dst, max_dist=0.02, max_iter=30, tol=1e-7):
         keep = dists <= max_dist
         if keep.sum() < 3:
             break
-        T_step = np.asarray(kabsch(jnp.asarray(cur[keep], jnp.float32),
-                                   jnp.asarray(dst[idx[keep]], jnp.float32)),
-                            np.float64)
+        T_step = _kabsch_np(cur[keep], dst[idx[keep]])
         cur = cur @ T_step[:3, :3].T + T_step[:3, 3]
         T = T_step @ T
         err = dists[keep].mean()
