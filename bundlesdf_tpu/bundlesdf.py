@@ -438,10 +438,15 @@ class BundleSdf:
             })
             ready = (self.cnt_nerf >= 0
                      or len(self.kf_to_nerf_list) >= self.start_nerf_keyframes)
-            if ready:
-                # a previous batch still in flight must land first (the
-                # reference's nerf loop is also one-batch-at-a-time)
-                self._finish_nerf_batch()
+            in_flight = self.nerf is not None and self.nerf.training_in_flight
+            if ready and not in_flight:
+                # idle NOF: consume everything accumulated as one batch.
+                # A batch still in flight does NOT block here — keyframes
+                # accumulate and the consumer picks up the whole list when
+                # the batch lands (the reference's run_nerf child does
+                # exactly this: its loop drains kf_to_nerf_list only
+                # between train() calls, bundlesdf.py:96-129; the tracker
+                # only ever waits on the sync_max_delay condition below).
                 self._run_nerf_batch()
 
         # tracker || NOF overlap with the reference's sync_max_delay
@@ -459,6 +464,10 @@ class BundleSdf:
                 if not done:
                     self.pipeline_stats["n_sync_blocks"] += 1
                 self._finish_nerf_batch()
+                # reference consumer loop: the freed NOF immediately takes
+                # the accumulated keyframes as its next batch
+                if self.kf_to_nerf_list and self.cnt_nerf >= 0:
+                    self._run_nerf_batch()
 
         self.save_newframe_result(frame)
         if self.gui is not None:

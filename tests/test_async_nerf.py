@@ -72,3 +72,45 @@ def test_overlap_keeps_tracking_and_syncs_back(tmp_path, monkeypatch):
     # and the final flush still synced optimized poses back
     assert b.nerf is not None and not b.nerf.training_in_flight
     assert any(kf.nerfed for kf in b.bundler.keyframes)
+
+
+def test_inflight_batch_accumulates_keyframes(tmp_path, monkeypatch):
+    """Reference consumer semantics (run_nerf loop bundlesdf.py:96-129):
+    keyframes arriving while a batch trains ACCUMULATE — they never block
+    the tracker to drain the batch — and the freed NOF consumes the whole
+    accumulated list as its next batch. Pin: with the batch artificially
+    held in flight, batch count stays well below keyframe count, and at
+    least one batch consumes more than one keyframe."""
+    from bundlesdf_tpu.nof import runner as runner_mod
+
+    polls = {"n": 0}
+    orig = runner_mod.NofRunner._chunk_ready
+
+    def slow_ready(metrics):
+        polls["n"] += 1
+        if polls["n"] % 5 != 0:  # hold each batch in flight a few frames
+            return False
+        return orig(metrics)
+
+    monkeypatch.setattr(runner_mod.NofRunner, "_chunk_ready",
+                        staticmethod(slow_ready))
+    seq = cube_orbit_sequence(n_frames=10, H=90, W=120, radius=0.45,
+                              obj_size=0.08)
+    cfg_t, cfg_n = _cfgs(tmp_path, sync_max_delay=99)
+    b = BundleSdf(cfg_track=cfg_t, cfg_nerf=cfg_n, start_nerf_keyframes=2)
+    batch_sizes = []
+    orig_run = BundleSdf._run_nerf_batch
+
+    def spy_run(self):
+        batch_sizes.append(len(self.kf_to_nerf_list))
+        return orig_run(self)
+
+    monkeypatch.setattr(BundleSdf, "_run_nerf_batch", spy_run)
+    for i in range(10):
+        b.run(seq["colors"][i], seq["depths"][i], seq["K"], f"{i:04d}",
+              mask=seq["masks"][i])
+    b.on_finish()
+    n_kf = len(b.bundler.keyframes)
+    assert b.nerf_num_frames == n_kf  # every keyframe eventually consumed
+    assert b.pipeline_stats["n_batches"] < n_kf
+    assert max(batch_sizes) > 1  # accumulation actually happened
