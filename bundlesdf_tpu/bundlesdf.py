@@ -18,6 +18,7 @@ from __future__ import annotations
 import copy
 import logging
 import os
+import threading
 import time
 
 import cv2
@@ -119,6 +120,21 @@ class BundleSdf:
             "nerf_prep_s": 0.0, "nerf_dispatch_s": 0.0, "nerf_poll_s": 0.0,
             "nerf_sync_s": 0.0, "nerf_post_s": 0.0,
             "n_batches": 0, "n_sync_blocks": 0}
+        # threaded NOF host pipeline (the reference runs NOF in a child
+        # PROCESS, bundlesdf.py:64-260 + run:571-599 — the tracker thread
+        # there never executes batch prep / dispatch / checkpoint pulls).
+        # async_host=True reproduces that: a worker thread owns the whole
+        # batch (scene bounds, ray store, scan dispatch, drain) and the
+        # tracker only ever blocks on the sync_max_delay gate. The
+        # single-threaded polling path remains for strict sync
+        # (sync_max_delay=0, the reference config.yml:102 default) and as
+        # the deterministic mode the overlap tests pin.
+        if cfg_nerf.get("async_host") is None:
+            self._async_host = int(cfg_nerf.get("sync_max_delay", 0)) > 0
+        else:
+            self._async_host = bool(cfg_nerf.get("async_host"))
+        self._nerf_thread: threading.Thread | None = None
+        self._nerf_worker_err: BaseException | None = None
 
     # ------------------------------------------------------------------
     def make_frame(self, color, depth, K, id_str, mask=None, occ_mask=None,
@@ -438,8 +454,7 @@ class BundleSdf:
             })
             ready = (self.cnt_nerf >= 0
                      or len(self.kf_to_nerf_list) >= self.start_nerf_keyframes)
-            in_flight = self.nerf is not None and self.nerf.training_in_flight
-            if ready and not in_flight:
+            if ready and not self._nerf_busy():
                 # idle NOF: consume everything accumulated as one batch.
                 # A batch still in flight does NOT block here — keyframes
                 # accumulate and the consumer picks up the whole list when
@@ -454,7 +469,19 @@ class BundleSdf:
         # batch trains, but block + sync once the tracker is
         # sync_max_delay keyframes ahead of the frames the NOF consumed
         # (0 = strict sync, config.yml:102)
-        if self.nerf is not None and self.nerf.training_in_flight:
+        if self._async_host and self._nerf_thread is not None:
+            behind = len(self.bundler.keyframes) - self.nerf_num_frames
+            max_ahead = int(self.cfg_nerf.get("sync_max_delay", 0))
+            done = not self._nerf_thread.is_alive()
+            if done or behind >= max_ahead:
+                if not done:
+                    self.pipeline_stats["n_sync_blocks"] += 1
+                self._finish_nerf_batch()  # done => join is instant
+                # reference consumer loop: the freed NOF immediately takes
+                # the accumulated keyframes as its next batch
+                if self.kf_to_nerf_list and self.cnt_nerf >= 0:
+                    self._run_nerf_batch()
+        elif self.nerf is not None and self.nerf.training_in_flight:
             t0 = time.perf_counter()
             done = self.nerf.poll_training()
             self.pipeline_stats["nerf_poll_s"] += time.perf_counter() - t0
@@ -485,25 +512,56 @@ class BundleSdf:
     # NOF batch (ref run_nerf bundlesdf.py:64-260, continual branch)
     # ------------------------------------------------------------------
     def _run_nerf_batch(self):
-        t_prep = time.perf_counter()
         self.pipeline_stats["n_batches"] += 1
         batch = self.kf_to_nerf_list
         self.kf_to_nerf_list = []
+        self.nerf_num_frames += len(batch)
+        self.cnt_nerf += 1
+        first = self.cnt_nerf == 0
+        # pose snapshot on the TRACKER thread: the worker must never read
+        # keyframe poses concurrently with BA pose writes
+        cam_in_obs = np.array([kf.pose_in_model for kf in
+                               self.bundler.keyframes])
+        if not self._async_host:
+            self._nerf_batch_body(batch, cam_in_obs, first)
+            return
+        assert (self._nerf_thread is None
+                or not self._nerf_thread.is_alive()), "NOF batch overlap"
+
+        def work():
+            try:
+                t0 = time.perf_counter()
+                self._nerf_batch_body(batch, cam_in_obs, first)
+                # drive the batch to completion chunk by chunk; tracker
+                # dispatches interleave on the device queue between chunks
+                while not self.nerf.poll_training(max_chunks=1):
+                    time.sleep(0.002)
+                self.nerf.finish_training()
+                self.pipeline_stats["nerf_worker_s"] = (
+                    self.pipeline_stats.get("nerf_worker_s", 0.0)
+                    + time.perf_counter() - t0)
+            except BaseException as e:  # surfaced at the next join
+                self._nerf_worker_err = e
+
+        self._nerf_thread = threading.Thread(target=work, daemon=True,
+                                             name="nof-worker")
+        self._nerf_thread.start()
+
+    def _nerf_batch_body(self, batch, cam_in_obs, first):
+        """Batch prep + dispatch (ref run_nerf child body). Runs on the
+        worker thread when async_host, else inline on the tracker."""
+        t_prep = time.perf_counter()
         rgbs = np.array([f["rgb"] for f in batch])
         depths = np.array([f["depth"] for f in batch])
         masks = np.array([f["mask"] for f in batch])
         occ = [f["occ_mask"] for f in batch]
         occ_masks = (np.array(occ) if all(o is not None for o in occ) and occ
                      else None)
-        self.nerf_num_frames += len(rgbs)
-        self.cnt_nerf += 1
 
-        cam_in_obs = np.array([kf.pose_in_model for kf in
-                               self.bundler.keyframes])
         glcam_in_obs = cam_in_obs @ GLCAM_IN_CVCAM
         cfg_nerf = self.cfg_nerf
 
-        if self.cnt_nerf == 0:
+        if first:
             if self.translation is None:
                 sc_factor, translation, pcd_real, pcd_norm = \
                     compute_scene_bounds(
@@ -544,7 +602,7 @@ class BundleSdf:
             rgbs, depths, masks, None, glcam_in_obs.copy(),
             self.sc_factor, np.asarray(self.translation))
 
-        if self.cnt_nerf == 0 or not cfg_nerf["continual"]:
+        if first or not cfg_nerf["continual"]:
             self.nerf = NofRunner(copy.deepcopy(cfg_nerf), rgbs_p, depths_p,
                                   masks_p, normals_p, poses_all, self.K,
                                   occ_masks=occ_masks,
@@ -559,9 +617,28 @@ class BundleSdf:
         self.pipeline_stats["nerf_dispatch_s"] += time.perf_counter() - t_disp
         self.prev_pcd_real_scale = voxel_downsample(pcd_all, 0.01)
 
+    def _nerf_busy(self) -> bool:
+        """True while a NOF batch is in flight OR has landed but its pose
+        sync-back hasn't been applied on the tracker thread yet."""
+        if self._nerf_thread is not None:
+            return True
+        return self.nerf is not None and self.nerf.training_in_flight
+
     def _finish_nerf_batch(self, final=False):
         """Block until the in-flight NOF batch completes, then sync the
         optimized poses back into the keyframe pool."""
+        if self._nerf_thread is not None:
+            t0 = time.perf_counter()
+            self._nerf_thread.join()
+            self._nerf_thread = None
+            if self._nerf_worker_err is not None:
+                err, self._nerf_worker_err = self._nerf_worker_err, None
+                raise err
+            t1 = time.perf_counter()
+            self.pipeline_stats["nerf_sync_s"] += t1 - t0
+            self._sync_poses_from_nerf(final=final)
+            self.pipeline_stats["nerf_post_s"] += time.perf_counter() - t1
+            return
         if self.nerf is not None and self.nerf.training_in_flight:
             t0 = time.perf_counter()
             self.nerf.finish_training()

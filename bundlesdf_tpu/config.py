@@ -272,6 +272,16 @@ def default_nerf_config() -> dict:
         "dbscan_eps": 0.06,
         "dbscan_eps_min_samples": 1,
         "sync_max_delay": 0,
+        # NOF host-pipeline placement. The reference runs the whole NOF
+        # batch (scene bounds, ray store, training, checkpoint) in a child
+        # PROCESS (bundlesdf.py:64-260) so the tracker thread never pays
+        # its host cost. async_host=True is the TPU-native equivalent: a
+        # worker THREAD owns batch prep + scan dispatch + drain, and the
+        # tracker blocks only on the sync_max_delay gate. None (default)
+        # resolves to True when sync_max_delay > 0 (overlap mode), False
+        # for strict sync where threading buys nothing and the
+        # single-threaded path keeps tests deterministic.
+        "async_host": None,
         # tracker||NOF placement (SURVEY §2.3): -1 = share the tracker's
         # chip (NOF scans serialize against tracking on one instruction
         # stream); >=0 = commit all NOF state + training dispatches to

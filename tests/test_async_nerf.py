@@ -22,7 +22,10 @@ def _cfgs(tmp_path, sync_max_delay):
     cfg_n.update(dict(
         n_step=20, N_rand=128, N_samples=8, N_samples_around_depth=8,
         num_levels=2, finest_res=32, base_res=8, log2_hashmap_size=12,
-        n_trace_steps=32, sync_max_delay=sync_max_delay))
+        # these tests pin the single-threaded POLLING path semantics
+        # (deterministic batch/poll interleaving); the threaded host
+        # pipeline has its own end-state test below
+        n_trace_steps=32, sync_max_delay=sync_max_delay, async_host=False))
     return cfg_t, cfg_n
 
 
@@ -114,3 +117,49 @@ def test_inflight_batch_accumulates_keyframes(tmp_path, monkeypatch):
     assert b.nerf_num_frames == n_kf  # every keyframe eventually consumed
     assert b.pipeline_stats["n_batches"] < n_kf
     assert max(batch_sizes) > 1  # accumulation actually happened
+
+
+def test_async_host_thread_overlap(tmp_path):
+    """async_host (default when sync_max_delay>0): the NOF host pipeline
+    (scene bounds, ray store, scan dispatch, drain) runs on a worker
+    thread — the reference's child-process topology (bundlesdf.py:64-260).
+    End-state pins: every keyframe consumed, poses synced back, batch
+    accounting intact, and no stall phase was charged to the tracker's
+    poll path (the worker self-drives)."""
+    seq = cube_orbit_sequence(n_frames=10, H=90, W=120, radius=0.45,
+                              obj_size=0.08)
+    cfg_t, cfg_n = _cfgs(tmp_path, sync_max_delay=4)
+    cfg_n["async_host"] = None  # default resolution: delay>0 -> threaded
+    b = BundleSdf(cfg_track=cfg_t, cfg_nerf=cfg_n, start_nerf_keyframes=2)
+    assert b._async_host
+    for i in range(10):
+        b.run(seq["colors"][i], seq["depths"][i], seq["K"], f"{i:04d}",
+              mask=seq["masks"][i])
+    b.on_finish()
+    assert b._nerf_thread is None  # fully drained
+    assert b.nerf_num_frames == len(b.bundler.keyframes)
+    assert any(kf.nerfed for kf in b.bundler.keyframes)
+    assert b.pipeline_stats["n_batches"] >= 1
+    assert b.pipeline_stats["nerf_poll_s"] == 0.0  # tracker never polls
+
+
+def test_async_host_worker_error_surfaces(tmp_path, monkeypatch):
+    """An exception on the NOF worker thread must surface on the tracker
+    thread at the next sync point, not vanish."""
+    from bundlesdf_tpu.nof import runner as runner_mod
+
+    def boom(self, *a, **k):
+        raise RuntimeError("worker exploded")
+
+    monkeypatch.setattr(runner_mod.NofRunner, "start_training", boom)
+    seq = cube_orbit_sequence(n_frames=6, H=90, W=120, radius=0.45,
+                              obj_size=0.08)
+    cfg_t, cfg_n = _cfgs(tmp_path, sync_max_delay=4)
+    cfg_n["async_host"] = True
+    b = BundleSdf(cfg_track=cfg_t, cfg_nerf=cfg_n, start_nerf_keyframes=2)
+    import pytest
+    with pytest.raises(RuntimeError, match="worker exploded"):
+        for i in range(6):
+            b.run(seq["colors"][i], seq["depths"][i], seq["K"], f"{i:04d}",
+                  mask=seq["masks"][i])
+        b.on_finish()
