@@ -396,7 +396,13 @@ def bench_pipeline(n_frames=70, warmup=40):
                     seq["id_strs"][i], mask=seq["masks"][i])
         times.append(time.perf_counter() - t0)
     t_frames = time.perf_counter() - t_run0
+    # in-loop stall snapshot BEFORE the final drain: on_finish joins the
+    # last batch + extracts the final mesh, which is post-video work the
+    # user doesn't pay per frame — report it separately
+    ps_inloop = dict(tracker.pipeline_stats)
+    t_fin = time.perf_counter()
     tracker.on_finish()
+    final_drain_s = time.perf_counter() - t_fin
     # MEAN over the steady tail (includes NOF-batch back-pressure stalls;
     # a median would hide them)
     steady = np.asarray(times[-max(n_frames - warmup, 10):])
@@ -405,8 +411,9 @@ def bench_pipeline(n_frames=70, warmup=40):
     # single-chip physics: NOF batches are device work the one chip must
     # execute no matter how the host overlaps — frames / (NOF device
     # seconds + tracking device seconds) bounds the achievable mean.
-    nof_steps = (tracker.nerf.global_step
-                 if tracker.nerf is not None else 0)
+    nof_steps = tracker.pipeline_stats.get(
+        "nof_steps_total",
+        tracker.nerf.global_step if tracker.nerf is not None else 0)
     dev_floor = None
     nof_dev_s = nof_steps * 18.7e-3  # measured device ms/step (util rec)
     trk_dev_s = n_frames * 43e-3     # measured device ms/frame (r4)
@@ -427,9 +434,12 @@ def bench_pipeline(n_frames=70, warmup=40):
         # prep = host batch prep (scene bounds/ray store/runner init),
         # dispatch = start_training enqueue, poll = non-blocking chunk
         # feed, sync = blocking finish_training drains, post = pose
-        # sync-back (+ mesh extract when GUI/mesh_every_batch)
-        "stalls_s": {k: round(v, 2) for k, v in ps.items()
+        # sync-back (+ mesh extract when GUI/mesh_every_batch).
+        # IN-LOOP only (what frames actually paid); the final batch
+        # drain + mesh extract after the last frame is final_drain_s.
+        "stalls_s": {k: round(v, 2) for k, v in ps_inloop.items()
                      if k.endswith("_s")},
+        "final_drain_s": round(final_drain_s, 2),
         "n_sync_blocks": ps.get("n_sync_blocks", 0),
     }
     if dev_floor is not None:

@@ -537,6 +537,9 @@ class BundleSdf:
                 while not self.nerf.poll_training(max_chunks=1):
                     time.sleep(0.002)
                 self.nerf.finish_training()
+                self.pipeline_stats["nof_steps_total"] = (
+                    self.pipeline_stats.get("nof_steps_total", 0)
+                    + int(self.nerf.global_step - self._nerf_gs0))
                 self.pipeline_stats["nerf_worker_s"] = (
                     self.pipeline_stats.get("nerf_worker_s", 0.0)
                     + time.perf_counter() - t0)
@@ -613,6 +616,7 @@ class BundleSdf:
                                      new_pcd=pcd_norm, reuse_weights=False)
         t_disp = time.perf_counter()
         self.pipeline_stats["nerf_prep_s"] += t_disp - t_prep
+        self._nerf_gs0 = self.nerf.global_step
         self.nerf.start_training()
         self.pipeline_stats["nerf_dispatch_s"] += time.perf_counter() - t_disp
         self.prev_pcd_real_scale = voxel_downsample(pcd_all, 0.01)
@@ -642,6 +646,9 @@ class BundleSdf:
         if self.nerf is not None and self.nerf.training_in_flight:
             t0 = time.perf_counter()
             self.nerf.finish_training()
+            self.pipeline_stats["nof_steps_total"] = (
+                self.pipeline_stats.get("nof_steps_total", 0)
+                + int(self.nerf.global_step - self._nerf_gs0))
             t1 = time.perf_counter()
             self.pipeline_stats["nerf_sync_s"] += t1 - t0
             self._sync_poses_from_nerf(final=final)
