@@ -23,8 +23,7 @@ from scipy.spatial import cKDTree
 
 from bundlesdf_tpu.mesh import Mesh, marching_tetrahedra
 from bundlesdf_tpu.nof.losses import LossConfig
-from bundlesdf_tpu.nof.models import (NofSpec, init_nof_params, nof_sdf,
-                                      pose_array_matrices)
+from bundlesdf_tpu.nof.models import NofSpec, init_nof_params, nof_sdf
 from bundlesdf_tpu.nof.render import RenderConfig, render_rays
 from bundlesdf_tpu.nof.train import (TrainConfig, make_optimizer, train_steps)
 from bundlesdf_tpu.ops.hashgrid import HashGridSpec
@@ -200,7 +199,8 @@ class NofRunner:
         self.opt_state = make_optimizer().init(self.params)
         self.c2w_array = self._pad_c2w(self.poses)
 
-        self.rays = self._pad_ray_store(self._build_ray_store())
+        self._rays_host = self._build_ray_store()
+        self.rays = self._pad_ray_store(self._rays_host)
 
         # data-parallel ray training over a device mesh (cfg 'dp_devices'
         # > 1): the scanned train step runs under shard_map with the ray
@@ -375,18 +375,21 @@ class NofRunner:
         return -(-n // 16) * 16
 
     def _pad_ray_store(self, rays):
+        """Pad on the HOST, then upload each array once. Building the
+        padded store with eager jnp ops paid one device dispatch (+tunnel
+        RTT) per op per key — ~12 s of a continual batch's prep went to
+        exactly that (docs/PERF.md round-5 pipeline anatomy)."""
         n = int(rays["depth"].shape[0])
         self.n_rays_valid = n
         cap = self._ray_bucket(n)
         if cap == n:
-            return {k: jnp.asarray(v) for k, v in rays.items()}
+            return {k: jnp.asarray(np.ascontiguousarray(v))
+                    for k, v in rays.items()}
         # pad with copies of ray 0 (NOT zeros: a zero direction would NaN
         # under normalization if a sharded path ever samples the padding;
         # the single-chip sampler is bounded by n_rays_valid and never does)
-        return {k: jnp.concatenate(
-            [jnp.asarray(v),
-             jnp.broadcast_to(jnp.asarray(v)[:1],
-                              (cap - n,) + v.shape[1:])])
+        return {k: jnp.asarray(np.concatenate(
+            [v, np.broadcast_to(v[:1], (cap - n,) + v.shape[1:])]))
             for k, v in rays.items()}
 
     def _pad_c2w(self, poses):
@@ -424,7 +427,7 @@ class NofRunner:
             logging.info(f"denoise dropped {int((~keep).sum())} rays")
 
         logging.info(f"ray store: {len(rays['depth'])} rays")
-        return {k: jnp.asarray(v) for k, v in rays.items()}
+        return rays  # host numpy; _pad_ray_store uploads once
 
     # -- continual learning (ref add_new_frames nerf_runner.py:352-433) ----
 
@@ -486,10 +489,13 @@ class NofRunner:
 
         new_rays = self._build_ray_store(frame_range=range(prev_n,
                                                            len(self.images)))
-        real = {k: v[:self.n_rays_valid] for k, v in self.rays.items()}
-        self.rays = self._pad_ray_store(
-            {k: jnp.concatenate([real[k], new_rays[k]], axis=0)
-             for k in real})
+        # host mirror: append + re-pad in numpy, ONE upload per key (the
+        # old path sliced + concatenated the device store eagerly — a
+        # device download + per-op dispatch chain through the tunnel)
+        self._rays_host = {k: np.concatenate([self._rays_host[k],
+                                              new_rays[k]], axis=0)
+                           for k in self._rays_host}
+        self.rays = self._pad_ray_store(self._rays_host)
         self._dp_rays = None  # sharded copy rebuilt from the new store
         self._commit_state()
 
@@ -688,7 +694,7 @@ class NofRunner:
         if len(idx) == 0:
             return
         canvas = np.full((self.H, self.W, 3), 128, np.uint8)
-        dirs = np.asarray(self.rays["dirs"])[idx]
+        dirs = self._rays_host["dirs"][idx]
         us = np.clip(np.round(dirs[:, 0] / -dirs[:, 2] * self.K[0, 0]
                               + self.K[0, 2]).astype(int), 0, self.W - 1)
         vs = np.clip(np.round(-dirs[:, 1] / -dirs[:, 2] * self.K[1, 1]
@@ -709,10 +715,9 @@ class NofRunner:
         pairs by nearest pixel (ref make_key_ray_ids)."""
         fx, fy = self.K[0, 0], self.K[1, 1]
         cx, cy = self.K[0, 2], self.K[1, 2]
-        # slice off padding (copies of ray 0): padded rows carry frame 0's
-        # id, so frame-0 queries would otherwise bind matches to padding
-        dirs = np.asarray(self.rays["dirs"])[:self.n_rays_valid]
-        fids = np.asarray(self.rays["frame_id"])[:self.n_rays_valid]
+        # the host mirror holds only real rays (no padding rows)
+        dirs = self._rays_host["dirs"]
+        fids = self._rays_host["frame_id"]
         # GL dirs -> pixel coords (ref dirs_to_uvs)
         us = dirs[:, 0] / -dirs[:, 2] * fx + cx
         vs = -dirs[:, 1] / -dirs[:, 2] * fy + cy
@@ -747,7 +752,7 @@ class NofRunner:
         if len(match_ray_ids) == 0:
             return None
         gather = lambda k, col: jnp.asarray(  # noqa: E731
-            np.asarray(self.rays[k])[match_ray_ids[:, col]])
+            self._rays_host[k][match_ray_ids[:, col]])
         data = {s: {"dirs": gather("dirs", i), "depth": gather("depth", i),
                     "fid": gather("frame_id", i).astype(jnp.int32)}
                 for i, s in enumerate("ab")}
@@ -888,9 +893,18 @@ class NofRunner:
         original[:, :3, 3] /= sc
         original[:, :3, 3] -= translation
 
-        tf = np.asarray(pose_array_matrices(
-            self.params["pose_array"], jnp.arange(len(poses_norm)),
-            self.spec.max_trans, self.spec.max_rot_deg))
+        # HOST pose math (numpy twin of pose_array_matrices): the frame
+        # count changes every batch, so the jnp path would retrace +
+        # recompile per batch (~8 s each through the tunnel, round-5
+        # pipeline anatomy); only the tiny (F,6) param pull hits the device
+        from bundlesdf_tpu.utils.se3 import se3_exp_np
+        theta = np.tanh(np.asarray(self.params["pose_array"],
+                                   np.float64)[:len(poses_norm)])
+        tau = np.concatenate([theta[:, :3] * self.spec.max_trans,
+                              theta[:, 3:6] * (self.spec.max_rot_deg
+                                               / 180.0 * np.pi)], axis=-1)
+        tf = se3_exp_np(tau)
+        tf[0] = np.eye(4)  # frame 0 pinned (PoseArray semantics)
         optimized = tf @ poses_norm
         optimized[:, :3, 3] /= sc
         optimized[:, :3, 3] -= translation
@@ -914,8 +928,8 @@ class NofRunner:
     def render_frame(self, frame_id, max_rays=2 ** 16):
         """Render all rays of one training frame (debug/eval; ref
         render_images nerf_runner.py:586-640). Returns dict of host arrays."""
-        # padding rows duplicate ray 0 (frame 0) — exclude them
-        fid_all = np.asarray(self.rays["frame_id"])[:self.n_rays_valid]
+        # the host mirror holds only real rays (no padding rows)
+        fid_all = self._rays_host["frame_id"]
         idx = np.nonzero(fid_all == frame_id)[0]
         outs = {"rgb_map": [], "depth_pred": []}
         for s in range(0, len(idx), max_rays):

@@ -238,3 +238,34 @@ def kabsch_np(src, dst, weights=None):
     T[:3, :3] = R
     T[:3, 3] = mean2 - R @ mean1
     return T
+
+
+def _hat_np(w):
+    zeros = np.zeros_like(w[..., 0])
+    return np.stack([
+        np.stack([zeros, -w[..., 2], w[..., 1]], axis=-1),
+        np.stack([w[..., 2], zeros, -w[..., 0]], axis=-1),
+        np.stack([-w[..., 1], w[..., 0], zeros], axis=-1),
+    ], axis=-2)
+
+
+def se3_exp_np(tau):
+    """NumPy twin of se3_exp for host-side pose math (the NOF pose
+    sync-back runs per batch with a frame count that changes every batch;
+    the jnp path would retrace + recompile per batch through the tunnel)."""
+    tau = np.asarray(tau, np.float64)
+    t, w = tau[..., :3], tau[..., 3:6]
+    theta2 = np.sum(w * w, axis=-1)
+    theta = np.sqrt(theta2 + _EPS * _EPS)
+    W = _hat_np(w)
+    W2 = W @ W
+    s = (np.sin(theta) / theta)[..., None, None]
+    c = ((1.0 - np.cos(theta)) / (theta2 + _EPS * _EPS))[..., None, None]
+    R = np.eye(3) + s * W + c * W2
+    b = ((theta - np.sin(theta)) / (theta2 * theta + _EPS))[..., None, None]
+    V = np.eye(3) + c * W + b * W2
+    T = np.zeros(tau.shape[:-1] + (4, 4))
+    T[..., :3, :3] = R
+    T[..., :3, 3] = (V @ t[..., None])[..., 0]
+    T[..., 3, 3] = 1.0
+    return T
