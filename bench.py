@@ -141,8 +141,15 @@ def nof_roofline(runner, device_ms):
     traffic = 0.0  # bytes
     for lvl, (res, dense, n_rows, off) in enumerate(spec.layout()):
         if dense:
-            k = spec.run_budget(lvl)
-            r = R * k                      # dedup: one packed row per run
+            k = min(spec.run_budget(lvl), S)
+            X = (int(R * spec.tier_frac) // 8) * 8
+            if spec.tier_frac > 0 and k >= 32 and X >= 8 and R - X >= 8:
+                # two-tier budgets (ops/hashgrid.py::_dedup_two_tier):
+                # top X rays at min(S, 2k), the rest at k//4
+                k_lo = max(8, (k // 4 // 8) * 8)
+                r = X * min(S, 2 * k) + (R - X) * k_lo
+            else:
+                r = R * k                  # dedup: one packed row per run
             wb = 8 * spec.level_dim * (2 if spec.table_bf16 else 4)
         else:
             r = R * S * 8                  # 8 hashed corners per sample
@@ -299,6 +306,7 @@ def bench_tracking(n_frames=70, warmup=40):
     cfg = default_track_config()
     cfg["SPDLOG"] = 0  # no per-frame artifact dumps in the timed loop
     cfg["debug_dir"] = "/tmp/bench_tracking"
+    cfg["stage_timing"] = True  # wall attribution table (PERF.md round 5)
     tracker = BundleSdf(cfg_track=cfg, cfg_nerf=default_nerf_config(),
                         start_nerf_keyframes=10 ** 9)  # NOF off: tracker only
 
@@ -357,6 +365,18 @@ def bench_tracking(n_frames=70, warmup=40):
         util = tracking_roofline(tracker, dev_ms, ba_ms=ba_ms)
         if util is not None:
             rec["util"] = util
+    # wall attribution: median per-stage host wall over the steady tail —
+    # with async BA the frame's blocking waits are ba_finish_prev (pull of
+    # the PREVIOUS frame's BA result + admission) and the match pulls;
+    # everything else is host compute. device_ms_per_frame vs the sum of
+    # these medians is the tunnel-RTT attribution table (PERF.md round 5).
+    st = tracker.stage_stats[-max(n_frames - warmup, 10):]
+    if st:
+        keys = sorted({k for d in st for k in d})
+        rec["wall_stage_ms"] = {
+            k: round(float(np.median([d.get(k, 0.0) for d in st])) * 1e3, 1)
+            for k in keys}
+        rec["wall_ms_median"] = round(float(np.median(steady)) * 1e3, 1)
     print(json.dumps(rec), flush=True)
 
 

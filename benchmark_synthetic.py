@@ -227,10 +227,13 @@ def main():
     metrics["resolution"] = f"{args.W}x{args.H}"
     metrics["depth_noise_m"] = args.noise
     metrics["protocol"] = args.protocol
-    if args.protocol == "occluder":
-        statuses = collect_frame_statuses(out_folder, seq["id_strs"])
-        n_fail = sum(s == "FAIL" for s in statuses)
-        metrics["fail_frames"] = n_fail
+    # FAIL/recovery accounting rides EVERY protocol's metrics record
+    # (0 fails on easy is itself evidence; the occluder protocol adds the
+    # post-recovery tail metrics below)
+    statuses = collect_frame_statuses(out_folder, seq["id_strs"])
+    n_fail = sum(s == "FAIL" for s in statuses)
+    metrics["fail_frames"] = n_fail
+    if args.protocol == "occluder" or n_fail:
         # recovered = tracking resumed OK after the last FAIL frame
         last_fail = max((i for i, s in enumerate(statuses) if s == "FAIL"),
                         default=-1)

@@ -15,6 +15,7 @@ pose_in_model)`, `.run_global_nerf()`, `.on_finish()`.
 """
 from __future__ import annotations
 
+import contextlib
 import copy
 import logging
 import os
@@ -135,6 +136,29 @@ class BundleSdf:
             self._async_host = bool(cfg_nerf.get("async_host"))
         self._nerf_thread: threading.Thread | None = None
         self._nerf_worker_err: BaseException | None = None
+        # per-frame wall stage timing (cfg_track['stage_timing']: true):
+        # one {stage: seconds} dict per run() call, feeding the PERF.md
+        # wall-vs-device attribution table via bench.py. Pure
+        # perf_counter spans — no device barriers are inserted, so the
+        # split reflects what the host loop actually blocks on.
+        self._stage_timing = bool(cfg_track.get("stage_timing", False))
+        self.stage_stats: list[dict] = []
+        self._cur_stages: dict | None = None
+
+    # ------------------------------------------------------------------
+    @contextlib.contextmanager
+    def _stage(self, name: str):
+        """Accumulate wall seconds into the current frame's stage dict
+        (no-op unless stage_timing is on)."""
+        if not self._stage_timing or self._cur_stages is None:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._cur_stages[name] = (self._cur_stages.get(name, 0.0)
+                                      + time.perf_counter() - t0)
 
     # ------------------------------------------------------------------
     def make_frame(self, color, depth, K, id_str, mask=None, occ_mask=None,
@@ -261,7 +285,8 @@ class BundleSdf:
         if hasattr(self.matcher, "_frame_feats"):
             self.matcher._frame_feats(frame)
 
-        n_valid = frame.count_valid_points()
+        with self._stage("valid_pull"):
+            n_valid = frame.count_valid_points()
         n_valid_first = b.first_frame.count_valid_points()
         if n_valid < n_valid_first / 40.0:
             logging.info(f"frame {frame.id_str} too few valid points "
@@ -289,7 +314,8 @@ class BundleSdf:
             b._sel_ctx = {
                 "kfs": list(b.keyframes),
                 "extra_pairs": b._unscored_kf_pairs(list(b.keyframes))}
-        self.find_corres([(frame, ref_frame)])
+        with self._stage("ref_match"):
+            self.find_corres([(frame, ref_frame)])
         if frame.status == FrameStatus.FAIL:
             b.forget_frame(frame)
             return
@@ -343,12 +369,14 @@ class BundleSdf:
         b.frames[frame.id] = frame
         b.select_keyframes_for_ba()
         pairs = b.get_feature_match_pairs(b.local_frames)
-        self.find_corres(pairs)
+        with self._stage("window_match"):
+            self.find_corres(pairs)
         if frame.status == FrameStatus.FAIL:
             b.forget_frame(frame)
             return
 
-        pending = b.optimize_dispatch(b.local_frames)
+        with self._stage("ba_dispatch"):
+            pending = b.optimize_dispatch(b.local_frames)
         if frame.status == FrameStatus.FAIL:  # zero global corres
             b.forget_frame(frame)
             return None
@@ -397,16 +425,20 @@ class BundleSdf:
             if self.SPDLOG >= 1:
                 np.savetxt(os.path.join(self.debug_dir, "cam_K.txt"), self.K)
 
+        if self._stage_timing:
+            self._cur_stages = {}
+            self.stage_stats.append(self._cur_stages)
         depth = np.asarray(depth, np.float32).copy()
-        percentile = self.cfg_track["depth_processing"]["percentile"]
-        if percentile < 100:
-            valid = (depth >= 0.1) & (np.asarray(mask) > 0)
-            if valid.any():
-                thres = np.percentile(depth[valid], percentile)
-                depth[depth >= thres] = 0
+        with self._stage("preprocess"):
+            percentile = self.cfg_track["depth_processing"]["percentile"]
+            if percentile < 100:
+                valid = (depth >= 0.1) & (np.asarray(mask) > 0)
+                if valid.any():
+                    thres = np.percentile(depth[valid], percentile)
+                    depth[depth >= thres] = 0
 
-        frame = self.make_frame(color, depth, K, id_str, mask, occ_mask,
-                                pose_in_model)
+            frame = self.make_frame(color, depth, K, id_str, mask, occ_mask,
+                                    pose_in_model)
         # host-side feature detection runs NOW so it overlaps the previous
         # frame's in-flight BA on device (skipped when denoise_cloud may
         # still shrink the mask — detection must see the final mask)
@@ -414,14 +446,17 @@ class BundleSdf:
                 and not self.cfg_track["depth_processing"].get(
                     "denoise_cloud", False)
                 and int((frame.fg_mask > 0).sum()) >= 100):
-            self.matcher._frame_feats(frame)
-        self.flush_pipeline()
+            with self._stage("detect"):
+                self.matcher._frame_feats(frame)
+        with self._stage("ba_finish_prev"):
+            self.flush_pipeline()
         pending = self.process_new_frame(frame)
         if pending is not None:
             self._deferred = (frame, np.asarray(color), mask, occ_mask,
                               pending)
         else:
-            self._finalize_frame(frame, color, mask, occ_mask)
+            with self._stage("finalize"):
+                self._finalize_frame(frame, color, mask, occ_mask)
         return frame
 
     def flush_pipeline(self):
